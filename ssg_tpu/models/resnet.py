@@ -1,0 +1,211 @@
+"""ResNet with SSG part pooling, in Flax (NHWC, bf16-ready).
+
+TPU-native rebuild of the reference's [reid/models/resnet.py] (SURVEY.md §2
+#4): a torchvision-style ResNet backbone whose conv5 feature map is pooled
+three ways — whole map, upper half, lower half (spatial H split before
+pooling; the core SSG trick) — each with its own embedding head.
+
+Design choices for TPU:
+  * NHWC layout (XLA TPU's native conv layout), channels-last pooling;
+  * one jitted forward returns ALL part embeddings — the three heads share
+    the backbone pass and XLA fuses the pools into the last conv block;
+  * ``dtype`` policy: backbone compute in bf16 (MXU), params and head
+    outputs fp32; set dtype=float32 + precision=HIGHEST for torch parity;
+  * ``last_stride`` option (re-ID repos often use stride-1 conv5 for larger
+    maps; torchvision default is 2).
+
+Weight compatibility: module names/shapes line up 1:1 with torchvision's
+ResNet via ssg_tpu.models.convert (torch state_dict -> flax variables), so
+ImageNet-pretrained or reference-trained checkpoints can be imported for the
+mAP parity runs (SURVEY.md §5 checkpoint row).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+ModuleDef = Any
+
+
+class Bottleneck(nn.Module):
+    """torchvision Bottleneck: 1x1 -> 3x3(stride) -> 1x1(x4) + residual."""
+
+    features: int
+    strides: int = 1
+    dtype: Any = jnp.float32
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = lambda f, k, s, name: nn.Conv(  # noqa: E731
+            f, (k, k), (s, s), padding=[(k // 2, k // 2)] * 2, use_bias=False,
+            dtype=self.dtype, precision=self.precision, name=name,
+        )
+        bn = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name,
+        )
+        residual = x
+        y = conv(self.features, 1, 1, "conv1")(x)
+        y = nn.relu(bn("bn1")(y))
+        y = conv(self.features, 3, self.strides, "conv2")(y)
+        y = nn.relu(bn("bn2")(y))
+        y = conv(self.features * 4, 1, 1, "conv3")(y)
+        y = bn("bn3")(y)
+        if residual.shape != y.shape:
+            residual = conv(self.features * 4, 1, self.strides, "downsample_conv")(x)
+            residual = bn("downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class BasicBlock(nn.Module):
+    """torchvision BasicBlock (resnet18/34): 3x3 -> 3x3 + residual."""
+
+    features: int
+    strides: int = 1
+    dtype: Any = jnp.float32
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = lambda f, k, s, name: nn.Conv(  # noqa: E731
+            f, (k, k), (s, s), padding=[(k // 2, k // 2)] * 2, use_bias=False,
+            dtype=self.dtype, precision=self.precision, name=name,
+        )
+        bn = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name,
+        )
+        residual = x
+        y = conv(self.features, 3, self.strides, "conv1")(x)
+        y = nn.relu(bn("bn1")(y))
+        y = conv(self.features, 3, 1, "conv2")(y)
+        y = bn("bn2")(y)
+        if residual.shape != y.shape:
+            residual = conv(self.features, 1, self.strides, "downsample_conv")(x)
+            residual = bn("downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNetBackbone(nn.Module):
+    stage_sizes: Sequence[int]
+    block: ModuleDef = Bottleneck
+    last_stride: int = 2
+    dtype: Any = jnp.float32
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
+            dtype=self.dtype, precision=self.precision, name="conv1",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn1",
+        )(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        for stage, num_blocks in enumerate(self.stage_sizes):
+            stage_stride = 1 if stage == 0 else (
+                self.last_stride if stage == len(self.stage_sizes) - 1 else 2
+            )
+            for blk in range(num_blocks):
+                x = self.block(
+                    features=64 * 2**stage,
+                    strides=stage_stride if blk == 0 else 1,
+                    dtype=self.dtype,
+                    precision=self.precision,
+                    name=f"layer{stage + 1}_{blk}",
+                )(x, train=train)
+        return x  # (B, h, w, C) conv5 feature map
+
+
+# SSG part groupings: whole map, upper half, lower half (SURVEY.md §2 #4).
+PART_NAMES = ("whole", "up", "down")
+
+
+class SSGResNet(nn.Module):
+    """ResNet backbone + SSG multi-part pooling heads.
+
+    Returns a dict:
+      ``embeddings``: (num_parts, B, num_features) — raw in train mode
+        (triplet loss input), L2-normalized in eval mode (the reference's
+        eval behavior);
+      ``logits``: (num_parts, B, num_classes) if num_classes > 0.
+    """
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    block: ModuleDef = Bottleneck
+    num_features: int = 0  # 0 -> use pooled backbone channels directly
+    dropout: float = 0.0
+    num_classes: int = 0
+    num_parts: int = 3
+    norm: bool = True  # L2-normalize embeddings in eval mode
+    last_stride: int = 2
+    dtype: Any = jnp.float32
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        fmap = ResNetBackbone(
+            stage_sizes=self.stage_sizes, block=self.block,
+            last_stride=self.last_stride, dtype=self.dtype,
+            precision=self.precision, name="backbone",
+        )(x, train=train)
+        h = fmap.shape[1]
+        pools = [
+            jnp.mean(fmap, axis=(1, 2)),  # whole
+            jnp.mean(fmap[:, : h // 2], axis=(1, 2)),  # upper body
+            jnp.mean(fmap[:, h // 2 :], axis=(1, 2)),  # lower body
+        ][: self.num_parts]
+
+        embeddings, logits = [], []
+        for part, pooled in zip(PART_NAMES, pools):
+            y = pooled.astype(jnp.float32)
+            if self.num_features > 0:
+                y = nn.Dense(
+                    self.num_features, dtype=jnp.float32, name=f"feat_{part}"
+                )(y)
+            y = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=jnp.float32, name=f"feat_bn_{part}",
+            )(y)
+            emb = y
+            if not train and self.norm:
+                emb = emb / jnp.maximum(
+                    jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-12
+                )
+            if self.dropout > 0:
+                y = nn.Dropout(self.dropout, deterministic=not train)(y)
+            if self.num_classes > 0:
+                logits.append(
+                    nn.Dense(
+                        self.num_classes, dtype=jnp.float32,
+                        name=f"classifier_{part}",
+                    )(y)
+                )
+            embeddings.append(emb)
+
+        out = {"embeddings": jnp.stack(embeddings)}
+        if logits:
+            out["logits"] = jnp.stack(logits)
+        return out
+
+
+def _make(stage_sizes, block):
+    def ctor(**kwargs):
+        return SSGResNet(stage_sizes=stage_sizes, block=block, **kwargs)
+
+    return ctor
+
+
+resnet18 = _make((2, 2, 2, 2), BasicBlock)
+resnet34 = _make((3, 4, 6, 3), BasicBlock)
+resnet50 = _make((3, 4, 6, 3), Bottleneck)
+resnet101 = _make((3, 4, 23, 3), Bottleneck)
+resnet152 = _make((3, 8, 36, 3), Bottleneck)

@@ -1,0 +1,104 @@
+"""Model tests: flax SSGResNet structure + torch->flax conversion parity.
+
+The torch twin (eval mode, fp32, CPU) is the numerical oracle for the flax
+model (SURVEY.md §4.1) — random weights, identical outputs required.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from ssg_tpu import models
+from ssg_tpu.models.convert import torch_to_flax
+from ssg_tpu.oracle.resnet_torch import (
+    TorchBottleneck,
+    TorchSSGResNet,
+    torch_resnet50_ssg,
+)
+
+
+@pytest.mark.parametrize("num_features,num_classes", [(0, 0), (64, 10)])
+def test_torch_flax_parity_small_bottleneck(rng, num_features, num_classes):
+    # Tiny bottleneck ResNet (1 block per stage): exercises conv1/bn1/
+    # maxpool, downsample, part pooling, feat/feat_bn/classifier heads with
+    # CPU-sane cost; resnet50 parity goes through the same code paths.
+    tm = TorchSSGResNet(
+        layers=(1, 1, 1, 1), block=TorchBottleneck,
+        num_features=num_features, num_classes=num_classes,
+    )
+    tm.eval()
+    # Randomize BN running stats so conversion of stats is actually tested.
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, (torch.nn.BatchNorm2d, torch.nn.BatchNorm1d)):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+
+    fm = models.SSGResNet(
+        stage_sizes=(1, 1, 1, 1),
+        num_features=num_features, num_classes=num_classes,
+        dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    variables = torch_to_flax(tm.state_dict())
+    variables = jax.tree.map(jnp.asarray, variables)
+
+    x = rng.normal(size=(2, 64, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(x.transpose(0, 3, 1, 2)))
+    out = fm.apply(variables, jnp.asarray(x), train=False)
+
+    # Tolerance: torch-CPU vs XLA conv stacks accumulate ~1e-4..1e-3 abs
+    # noise through the 2048-wide Dense + BN + L2-normalize; this checks
+    # conversion correctness, not bitwise determinism.
+    np.testing.assert_allclose(
+        np.asarray(out["embeddings"]), ref["embeddings"].numpy(), atol=2e-3,
+    )
+    if num_classes:
+        np.testing.assert_allclose(
+            np.asarray(out["logits"]), ref["logits"].numpy(), atol=5e-3,
+        )
+
+
+def test_flax_model_shapes_and_train_mode(rng):
+    model = models.create("resnet50", num_features=128, num_classes=16,
+                          dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, 64, 32, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out["embeddings"].shape == (3, 2, 128)
+    assert out["logits"].shape == (3, 2, 16)
+    # Eval embeddings are L2-normalized.
+    norms = jnp.linalg.norm(out["embeddings"], axis=-1)
+    np.testing.assert_allclose(np.asarray(norms), 1.0, rtol=1e-4)
+    # Train mode: mutable batch_stats, raw embeddings, dropout rng.
+    out2, updated = model.apply(
+        variables, x, train=True,
+        mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    assert "batch_stats" in updated
+    assert not np.allclose(
+        np.asarray(jnp.linalg.norm(out2["embeddings"], axis=-1)), 1.0
+    )
+
+
+def test_model_factory():
+    assert models.names() == ["resnet101", "resnet152", "resnet18", "resnet34", "resnet50"]
+    with pytest.raises(KeyError):
+        models.create("inception")
+
+
+def test_torchvision_style_checkpoint_loads():
+    # Plain torchvision-resnet50-style keys (backbone only + fc) convert too.
+    tm = torch_resnet50_ssg()
+    sd = {k.removeprefix("backbone."): v for k, v in tm.state_dict().items()
+          if k.startswith("backbone.")}
+    sd["fc.weight"] = torch.zeros(1000, 2048)
+    sd["fc.bias"] = torch.zeros(1000)
+    variables = torch_to_flax(sd)
+    assert "conv1" in variables["params"]["backbone"]
+    assert "layer4_2" in variables["params"]["backbone"]
+    assert variables["params"]["backbone"]["conv1"]["kernel"].shape == (7, 7, 3, 64)
+    assert variables["batch_stats"]["backbone"]["bn1"]["mean"].shape == (64,)
