@@ -1,0 +1,159 @@
+"""Public API — mirrors the reference surface (BASELINE.json north-star):
+
+  ``extract_features`` / ``re_ranking`` / ``cluster`` / ``train``
+
+plus the reference's evaluator objects ([reid/evaluators.py], SURVEY.md §1).
+Everything heavy runs on device; hosts see uint8 batches in and
+numpy labels/metrics out.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssg_tpu.cluster import dbscan as _dbscan
+from ssg_tpu.cluster import select_eps as _select_eps
+from ssg_tpu.data import transforms
+from ssg_tpu.data.preprocessor import Preprocessor
+from ssg_tpu.ops.distance import pairwise_distance
+from ssg_tpu.ops.metrics import evaluate_rank
+from ssg_tpu.ops.rerank import re_ranking  # re-export: reference surface
+from ssg_tpu.train.trainer import Trainer, make_train_step  # re-export
+
+__all__ = [
+    "extract_features",
+    "re_ranking",
+    "cluster",
+    "train",
+    "pairwise_distance",
+    "evaluate_all",
+    "Evaluator",
+]
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn",))
+def _forward_eval(apply_fn, variables, images_u8):
+    x = transforms.test_transform(images_u8)
+    out = apply_fn(variables, x, train=False)
+    return out["embeddings"]  # (num_parts, B, F) L2-normalized
+
+
+def extract_features(model, variables, preprocessor: Preprocessor, print_freq: int = 50):
+    """Multi-branch feature extraction with one jitted forward per batch.
+
+    Rebuild of [reid/evaluators.py] ``extract_features`` + [reid/
+    feature_extraction/cnn.py] (SURVEY.md §3.2): the reference decodes with
+    PIL workers, forwards through DataParallel and fills a python dict with
+    CPU tensors; here batches stay uint8 host->device, normalization fuses
+    into conv1, and features accumulate on device.
+
+    Returns (features, pids, cams, fnames): features is a (num_parts, N, F)
+    jnp array (stays in HBM), pids/cams are numpy, fnames a list.
+    """
+    chunks, pids, cams, masks = [], [], [], []
+    for i, (images, p, c, mask) in enumerate(preprocessor):
+        emb = _forward_eval(model.apply, variables, jnp.asarray(images))
+        chunks.append(emb)
+        pids.append(p)
+        cams.append(c)
+        masks.append(mask)
+        if (i + 1) % print_freq == 0:
+            print(f"Extract Features: [{i + 1}/{len(preprocessor)}]")
+    feats = jnp.concatenate(chunks, axis=1)  # (num_parts, N_padded, F)
+    keep = np.concatenate(masks)
+    feats = feats[:, jnp.asarray(np.flatnonzero(keep))]
+    return (
+        feats,
+        np.concatenate(pids)[keep],
+        np.concatenate(cams)[keep],
+        [f for f, m in zip(preprocessor.fnames, keep) if m],
+    )
+
+
+def cluster(
+    dist: jax.Array,
+    eps: float | None = None,
+    min_samples: int = 4,
+    rho: float = 1.6e-3,
+) -> tuple[np.ndarray, int, float]:
+    """DBSCAN with SSG auto-eps, fully on device (SURVEY.md §3.1).
+
+    Returns (labels, num_clusters, eps); labels match sklearn exactly.
+    """
+    d = jnp.asarray(dist)
+    eps_val = _select_eps(d, rho=rho) if eps is None else jnp.float32(eps)
+    labels, n = _dbscan(d, eps_val, min_samples=min_samples)
+    return np.asarray(labels), int(n), float(eps_val)
+
+
+def evaluate_all(distmat, query, gallery, logger=None):
+    """CMC rank-1/5/10 + mAP with the market1501 protocol (SURVEY.md §3.5).
+
+    ``query``/``gallery`` are (fname, pid, camid) triplet lists.
+    """
+    q_ids = jnp.asarray([p for _, p, _ in query])
+    g_ids = jnp.asarray([p for _, p, _ in gallery])
+    q_cams = jnp.asarray([c for _, _, c in query])
+    g_cams = jnp.asarray([c for _, _, c in gallery])
+    res = evaluate_rank(jnp.asarray(distmat), q_ids, g_ids, q_cams, g_cams)
+    mAP = float(res["mAP"])
+    cmc = np.asarray(res["cmc"])
+    print(f"Mean AP: {mAP:.1%}")
+    print("CMC Scores")
+    for k in (1, 5, 10):
+        print(f"  top-{k:<4}{cmc[k - 1]:.1%}")
+    if logger is not None:
+        logger.metric(kind="eval", mAP=mAP, rank1=float(cmc[0]),
+                      rank5=float(cmc[4]), rank10=float(cmc[9]))
+    return {"mAP": mAP, "cmc": cmc}
+
+
+class Evaluator:
+    """Reference-shaped evaluator: extract query+gallery features, distance,
+    metrics ([reid/evaluators.py] ``Evaluator.evaluate``, SURVEY.md §3.5).
+
+    ``part`` selects which embedding branch ranks the gallery; 'concat'
+    concatenates all branches (the SSG eval choice for multi-part models).
+    """
+
+    def __init__(self, model, variables, batch_size: int = 64, part: str = "concat"):
+        self.model = model
+        self.variables = variables
+        self.batch_size = batch_size
+        self.part = part
+
+    def _feats(self, dataset, items):
+        pre = Preprocessor(dataset, items=items, batch_size=self.batch_size)
+        feats, _, _, _ = extract_features(self.model, self.variables, pre)
+        if self.part == "concat":
+            f = jnp.concatenate(list(feats), axis=1)
+            return f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True), 1e-12)
+        return feats[("whole", "up", "down").index(self.part)]
+
+    def evaluate(self, dataset, query=None, gallery=None, rerank: bool = False,
+                 logger=None):
+        query = dataset.query if query is None else query
+        gallery = dataset.gallery if gallery is None else gallery
+        qf = self._feats(dataset, query)
+        gf = self._feats(dataset, gallery)
+        if rerank:
+            nq = qf.shape[0]
+            allf = jnp.concatenate([qf, gf], axis=0)
+            full = re_ranking(features=allf)
+            distmat = full[:nq, nq:]
+        else:
+            distmat = pairwise_distance(qf, gf)
+        return evaluate_all(distmat, query, gallery, logger=logger)
+
+
+def train(*args, **kwargs):
+    """The SSG self-training loop — see ssg_tpu.train.ssg_loop.run_ssg
+    (imported lazily to keep api import light)."""
+    from ssg_tpu.train.ssg_loop import run_ssg
+
+    return run_ssg(*args, **kwargs)

@@ -1,0 +1,175 @@
+"""The SSG self-training loop: extract -> re-rank -> cluster -> fine-tune.
+
+Rebuild of the reference's [selftraining.py] main loop (SURVEY.md §3.1),
+with the entire per-iteration analytics block (distance, k-reciprocal,
+eps, DBSCAN x 3 feature groups) on device — the reference's host-side
+serial bottleneck (SURVEY.md §3.1 note).
+
+Pseudo-label join rule: an image participates in fine-tuning when it is
+non-noise in EVERY feature group (SURVEY.md §3.1 [MED]); each branch is
+then trained against its own group's labels, remapped to a dense range.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import numpy as np
+
+from ssg_tpu import api
+from ssg_tpu.data.preprocessor import Preprocessor
+from ssg_tpu.data.sampler import RandomIdentitySampler
+from ssg_tpu.train.trainer import Trainer, create_train_state, make_train_step
+from ssg_tpu.utils.serialization import save_checkpoint
+
+
+@dataclasses.dataclass
+class SSGConfig:
+    """Flags mirror the reference's argparse set (SURVEY.md §5 config row)."""
+
+    iterations: int = 30
+    epochs: int = 70
+    batch_size: int = 64
+    num_instances: int = 4  # K in the P x K sampler
+    k1: int = 20
+    k2: int = 6
+    lambda_value: float = 0.1
+    rho: float = 1.6e-3
+    min_samples: int = 4
+    margin: float = 0.3
+    lr: float = 6e-5
+    weight_decay: float = 5e-4
+    num_parts: int = 3
+    height: int = 256
+    width: int = 128
+    print_freq: int = 10
+    seed: int = 0
+    eval_rerank: bool = False
+    logs_dir: str = "logs"
+
+
+def _dense_remap(labels: np.ndarray) -> np.ndarray:
+    """Remap arbitrary non-negative labels to 0..K-1 (order-preserving)."""
+    uniq = np.unique(labels)
+    lut = {int(v): i for i, v in enumerate(uniq)}
+    return np.asarray([lut[int(v)] for v in labels], dtype=np.int32)
+
+
+def run_ssg(model, variables, tgt, config: SSGConfig | None = None, logger=None,
+            evaluate_every: int = 1):
+    """Run SSG adaptation of ``model`` (initialized with source-trained
+    ``variables``) on target dataset ``tgt``. Returns (state, history)."""
+    cfg = config or SSGConfig()
+    rng = jax.random.PRNGKey(cfg.seed)
+    state = create_train_state(
+        model, rng, variables=variables,
+        learning_rate=cfg.lr, weight_decay=cfg.weight_decay,
+        input_shape=(2, cfg.height, cfg.width, 3),
+    )
+    step = make_train_step(
+        model, margin=cfg.margin, num_parts=cfg.num_parts,
+        height=cfg.height, width=cfg.width,
+    )
+    trainer = Trainer(step, print_freq=cfg.print_freq, logger=logger)
+    history = []
+    best_map = -1.0
+
+    for it in range(cfg.iterations):
+        t_iter = time.time()
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        # 1) Extract multi-branch features for the unlabeled target train set.
+        pre = Preprocessor(tgt, items=tgt.train, batch_size=cfg.batch_size)
+        feats, _, cams, fnames = api.extract_features(model, variables, pre)
+        n = feats.shape[1]
+
+        # 2) Per feature group: k-reciprocal re-rank + auto-eps DBSCAN,
+        #    all on device (SURVEY.md §3.1a-c).
+        t_cluster = time.time()
+        labels_parts, cluster_info = [], []
+        for g in range(cfg.num_parts):
+            dist = api.re_ranking(
+                features=feats[g], k1=cfg.k1, k2=cfg.k2,
+                lambda_value=cfg.lambda_value,
+            )
+            labels_g, n_clusters, eps = api.cluster(
+                dist, rho=cfg.rho, min_samples=cfg.min_samples
+            )
+            labels_parts.append(labels_g)
+            cluster_info.append((n_clusters, eps))
+        t_cluster = time.time() - t_cluster
+        labels = np.stack(labels_parts)  # (num_parts, N)
+
+        # 3) Join rule: keep images clustered in every group.
+        keep = (labels >= 0).all(axis=0)
+        kept_idx = np.flatnonzero(keep)
+        kept_labels = np.stack([_dense_remap(l[keep]) for l in labels])
+        for g, (nc, eps) in enumerate(cluster_info):
+            print(
+                f"Iteration {it} group {g}: {nc} clusters, eps={eps:.4f}, "
+                f"kept {keep.sum()}/{n} images ({t_cluster:.1f}s on device)"
+            )
+        if logger is not None:
+            logger.metric(
+                kind="cluster", iteration=it,
+                clusters=[int(c) for c, _ in cluster_info],
+                eps=[float(e) for _, e in cluster_info],
+                kept=int(keep.sum()), total=int(n),
+                cluster_seconds=t_cluster,
+            )
+        if keep.sum() < cfg.num_instances * 2:
+            print(f"Iteration {it}: too few clustered images; skipping training")
+            continue
+
+        # 4) Fine-tune: P x K batches over whole-body pseudo-ids, per-branch
+        #    triplet against each branch's own labels (SURVEY.md §3.4).
+        kept_items = [
+            (fnames[i], int(kept_labels[0, j]), int(cams[i]))
+            for j, i in enumerate(kept_idx)
+        ]
+        sampler = RandomIdentitySampler(
+            kept_items, num_instances=cfg.num_instances, seed=cfg.seed + it
+        )
+        sub_pre = Preprocessor(tgt, items=[(fnames[i], 0, 0) for i in kept_idx],
+                               batch_size=cfg.batch_size)
+
+        def batch_iter(epoch_seed):
+            for idx in sampler.batches(cfg.batch_size):
+                images, _, _ = sub_pre.gather(idx)
+                yield images, kept_labels[:, idx]
+
+        for epoch in range(cfg.epochs):
+            rng, k = jax.random.split(rng)
+            state = trainer.train(epoch, state, batch_iter(epoch), k)
+
+        # 5) Evaluate + checkpoint per iteration (SURVEY.md §3.1 tail).
+        entry = {"iteration": it, "clusters": cluster_info,
+                 "kept": int(keep.sum()), "seconds": time.time() - t_iter}
+        if tgt.query and (it % evaluate_every == 0 or it == cfg.iterations - 1):
+            ev = api.Evaluator(
+                model,
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch_size=cfg.batch_size,
+            )
+            res = ev.evaluate(tgt, rerank=cfg.eval_rerank, logger=logger)
+            entry["mAP"] = res["mAP"]
+            entry["rank1"] = float(res["cmc"][0])
+            is_best = res["mAP"] > best_map
+            best_map = max(best_map, res["mAP"])
+        else:
+            is_best = False
+        save_checkpoint(
+            {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "iteration": it,
+            },
+            is_best,
+            fpath=f"{cfg.logs_dir}/checkpoint",
+        )
+        history.append(entry)
+
+    return state, history

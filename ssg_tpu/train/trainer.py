@@ -1,0 +1,152 @@
+"""Training loop: per-branch batch-hard triplet on pseudo-labels.
+
+Rebuilds the reference's [reid/trainers.py] (SURVEY.md §2 #5, §3.4) the TPU
+way: ONE jitted train step containing the on-device augmentation
+(crop/flip/normalize), the 3-branch forward, a batch-hard triplet loss per
+feature branch against that branch's own pseudo-label set, the backward pass
+and the optax update — no host round-trips inside the epoch loop. The host
+only renders uint8 batches and feeds them.
+
+bf16 policy: backbone compute bf16 (set via model dtype), params/optimizer
+fp32, losses fp32 (SURVEY.md §7f).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.training import train_state
+
+from ssg_tpu.data import transforms
+from ssg_tpu.ops.triplet import batch_hard_triplet_loss
+from ssg_tpu.utils.meters import AverageMeter
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def create_train_state(
+    model,
+    rng: jax.Array,
+    input_shape=(2, 256, 128, 3),
+    tx: optax.GradientTransformation | None = None,
+    learning_rate: float = 6e-5,
+    weight_decay: float = 5e-4,
+    variables: dict | None = None,
+) -> TrainState:
+    """Initialize (or adopt converted torch) variables + optimizer.
+
+    Optimizer default: AdamW(6e-5, wd 5e-4) — the open-reid family's
+    self-training setting (SURVEY.md §3.1 [LOW]; configurable).
+    """
+    if variables is None:
+        variables = model.init(rng, jnp.zeros(input_shape, jnp.float32), train=False)
+    if tx is None:
+        tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats"),
+        tx=tx,
+    )
+
+
+def make_train_step(
+    model,
+    margin: float = 0.3,
+    num_parts: int = 3,
+    ce_weight: float = 0.0,
+    height: int = 256,
+    width: int = 128,
+) -> Callable:
+    """Build the jitted SSG train step.
+
+    Step signature: ``step(state, images_u8 (B,H,W,3), labels (num_parts,B),
+    rng) -> (state, metrics)``. ``labels[g]`` is branch g's pseudo-label set
+    (SURVEY.md §3.4). When ``ce_weight > 0`` and the model has classifier
+    heads, a per-branch cross-entropy on ``labels`` is added (the SSG++
+    supervised term; labels < 0 are masked out).
+    """
+
+    @jax.jit
+    def step(state: TrainState, images_u8, labels, rng):
+        k_aug, k_drop = jax.random.split(rng)
+        x = transforms.train_transform(k_aug, images_u8, height, width)
+
+        def loss_fn(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": k_drop},
+            )
+            emb = out["embeddings"]  # (num_parts, B, F)
+            total = 0.0
+            precs = []
+            for g in range(num_parts):
+                loss_g, prec_g = batch_hard_triplet_loss(emb[g], labels[g], margin)
+                total = total + loss_g
+                precs.append(prec_g)
+            if ce_weight > 0.0 and "logits" in out:
+                for g in range(num_parts):
+                    mask = labels[g] >= 0
+                    ce = optax.softmax_cross_entropy_with_integer_labels(
+                        out["logits"][g], jnp.maximum(labels[g], 0)
+                    )
+                    total = total + ce_weight * jnp.sum(
+                        jnp.where(mask, ce, 0.0)
+                    ) / jnp.maximum(jnp.sum(mask), 1)
+            return total, (updates, jnp.stack(precs))
+
+        (loss, (updates, precs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=updates["batch_stats"])
+        return state, {"loss": loss, "prec": jnp.mean(precs)}
+
+    return step
+
+
+class Trainer:
+    """Epoch loop with the reference's meters/printing (SURVEY.md §3.4)."""
+
+    def __init__(self, step_fn: Callable, print_freq: int = 10, logger=None):
+        self.step_fn = step_fn
+        self.print_freq = print_freq
+        self.logger = logger
+
+    def train(self, epoch: int, state: TrainState, batch_iter, rng: jax.Array):
+        """``batch_iter`` yields (images_u8, labels (num_parts, B)) host
+        arrays. Returns the updated state."""
+        losses, precs, batch_time = AverageMeter(), AverageMeter(), AverageMeter()
+        end = time.time()
+        for i, (images, labels) in enumerate(batch_iter):
+            rng, k = jax.random.split(rng)
+            state, metrics = self.step_fn(state, jnp.asarray(images), jnp.asarray(labels), k)
+            loss = float(metrics["loss"])
+            prec = float(metrics["prec"])
+            losses.update(loss, images.shape[0])
+            precs.update(prec, images.shape[0])
+            batch_time.update(time.time() - end)
+            end = time.time()
+            if (i + 1) % self.print_freq == 0:
+                print(
+                    f"Epoch: [{epoch}][{i + 1}]\t"
+                    f"Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t"
+                    f"Loss {losses.val:.3f} ({losses.avg:.3f})\t"
+                    f"Prec {precs.val:.2%} ({precs.avg:.2%})"
+                )
+            if self.logger is not None:
+                self.logger.metric(
+                    kind="train_step", epoch=epoch, step=i, loss=loss, prec=prec
+                )
+        return state

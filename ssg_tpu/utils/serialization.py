@@ -1,0 +1,63 @@
+"""Checkpoint/resume + json helpers.
+
+Mirrors the reference's [reid/utils/serialization.py] surface (SURVEY.md §2
+#13, §5 checkpoint row): ``save_checkpoint(state, is_best, fpath)`` writing a
+per-iteration checkpoint plus a best copy, ``load_checkpoint``,
+``read_json/write_json``. Storage is Orbax (the TPU-native checkpoint
+format); torch ``.pth(.tar)`` checkpoints are importable via
+ssg_tpu.models.convert.load_torch_checkpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def mkdir_if_missing(path: str):
+    os.makedirs(path, exist_ok=True)
+
+
+def read_json(fpath: str):
+    with open(fpath) as f:
+        return json.load(f)
+
+
+def write_json(obj, fpath: str):
+    mkdir_if_missing(os.path.dirname(fpath) or ".")
+    with open(fpath, "w") as f:
+        json.dump(obj, f, indent=2)
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(state: dict, is_best: bool, fpath: str = "checkpoint"):
+    """Save a pytree checkpoint; keep a ``model_best`` copy when is_best.
+
+    ``state`` is any pytree (variables, opt_state, counters). ``fpath`` is a
+    directory (Orbax layout), reference-equivalent of checkpoint.pth.tar.
+    """
+    fpath = os.path.abspath(fpath)
+    if os.path.exists(fpath):
+        shutil.rmtree(fpath)
+    ckpt = ocp.PyTreeCheckpointer()
+    ckpt.save(fpath, _to_host(state))
+    if is_best:
+        best = os.path.join(os.path.dirname(fpath), "model_best")
+        if os.path.exists(best):
+            shutil.rmtree(best)
+        shutil.copytree(fpath, best)
+
+
+def load_checkpoint(fpath: str) -> dict:
+    fpath = os.path.abspath(fpath)
+    if not os.path.isdir(fpath):
+        raise FileNotFoundError(fpath)
+    return ocp.PyTreeCheckpointer().restore(fpath)
