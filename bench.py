@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Benchmark: the BASELINE.json config-1 workload on real TPU.
+
+Feature-extract (SSG ResNet-50, bf16) + k-reciprocal re-rank + auto-eps
+DBSCAN at Market-1501 query-set scale (N=3368), end to end on device.
+Prints ONE JSON line:
+
+  {"metric": "...", "value": <seconds>, "unit": "s", "vs_baseline": <x>}
+
+``vs_baseline`` is the speedup over the CPU oracle pipeline measured once in
+this environment (BASELINE_MEASURED.json; the reference publishes no speed
+numbers — SURVEY.md §6). Extra keys carry the submetrics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+N = 3368
+BATCH = 128
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def main():
+    # Persistent compilation cache: bench runs once per round; don't pay
+    # recompiles for unchanged graphs.
+    cache_dir = os.path.join(HERE, ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from ssg_tpu import models
+    from ssg_tpu.api import cluster, extract_features, re_ranking
+    from ssg_tpu.data import datasets
+    from ssg_tpu.data.preprocessor import Preprocessor
+
+    dev = jax.devices()[0]
+    rng = np.random.default_rng(0)
+
+    model = models.create("resnet50", num_features=0, num_parts=3,
+                          dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 256, 128, 3), jnp.float32),
+        train=False,
+    )
+
+    # Pre-render the synthetic image batch stream (host data prep is not the
+    # device metric; real deployments stream from the native loader).
+    ds = datasets.create("market1501", scale=0.45, seed=0)
+    items = (ds.train + ds.query + ds.gallery)[:N]
+    assert len(items) == N, f"synthetic dataset too small: {len(items)}"
+    pre = Preprocessor(ds, items=items, batch_size=BATCH)
+    batches = [(jnp.asarray(b[0]), b[3]) for b in pre]
+
+    # --- extract (warmup once for compile, then timed pass) ---------------
+    from ssg_tpu.api import _forward_eval
+
+    _ = _forward_eval(model.apply, variables, batches[0][0]).block_until_ready()
+    t0 = time.time()
+    chunks = [_forward_eval(model.apply, variables, imgs) for imgs, _ in batches]
+    feats = jnp.concatenate(chunks, axis=1)
+    feats.block_until_ready()
+    extract_s = time.time() - t0
+    keep = np.concatenate([m for _, m in batches])
+    feats = feats[:, jnp.asarray(np.flatnonzero(keep))]
+
+    # --- re-rank + eps + DBSCAN on device (3 part groups, as SSG) ---------
+    # Warmup/compile on the same shapes.
+    d0 = re_ranking(features=feats[0], k1=20, k2=6, lambda_value=0.1)
+    _ = cluster(d0, rho=1.6e-3)
+    t0 = time.time()
+    n_clusters = []
+    for g in range(3):
+        dist = re_ranking(features=feats[g], k1=20, k2=6, lambda_value=0.1)
+        labels, n_c, eps = cluster(dist, rho=1.6e-3)
+        n_clusters.append(n_c)
+    cluster_s = time.time() - t0
+
+    total_s = extract_s + cluster_s
+    imgs_per_s = N / extract_s
+
+    baseline_path = os.path.join(HERE, "BASELINE_MEASURED.json")
+    vs_baseline = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        # Oracle clusters ONE group; compare per-group cost.
+        oracle_total = base["extract_seconds"] + 3 * (
+            base["rerank_seconds"] + base["eps_dbscan_seconds"]
+        )
+        vs_baseline = oracle_total / total_s
+
+    out = {
+        "metric": "ssg_extract_rerank_dbscan_wallclock_market_query_3368",
+        "value": round(total_s, 3),
+        "unit": "s",
+        "vs_baseline": round(vs_baseline, 1) if vs_baseline else None,
+        "extract_seconds": round(extract_s, 3),
+        "extract_imgs_per_s": round(imgs_per_s, 1),
+        "cluster_seconds_3groups": round(cluster_s, 3),
+        "clusters": n_clusters,
+        "device": str(dev),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

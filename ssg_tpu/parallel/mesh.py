@@ -1,0 +1,19 @@
+"""Mesh construction helpers."""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    """1-D mesh over the first ``n_devices`` devices (default: all).
+
+    SSG's parallel axes are data (batch) and distance-matrix rows; both map
+    onto one mesh axis — a v5e-8 ring over ICI in production, the virtual
+    CPU mesh in tests.
+    """
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(devices, (axis,))

@@ -1,0 +1,87 @@
+"""Ring primitives over a 1-D mesh (shard_map building blocks).
+
+Everything here operates on row *stripes*: device p of P holds rows
+``p*r:(p+1)*r`` of a global (N, N) or (N, D) array. Three primitives cover
+all of SSG's sharded analytics (the scaling-book recipe: rotate shards over
+ICI, compute local tiles — structurally the ring-attention KV rotation,
+SURVEY.md §5 long-context row):
+
+  * ``stripe_transpose`` — row stripe of A -> row stripe of A^T, one
+    all_to_all (the (N/P)^2-block exchange).
+  * ``ring_pairwise`` — acc[i, j] = fn(A_i, B_j) for all global j, rotating
+    B stripes with ppermute; fn computes an (r_a, r_b) tile per visit
+    (used for GEMM-shaped overlap counts and the L1/Jaccard min-sum).
+  * ``ring_contract`` — A_stripe @ B for B row-sharded along the
+    contraction axis (used for set-union expansion and query expansion).
+
+Static P (mesh size) lets these unroll in Python so XLA overlaps each
+ppermute with the next tile's compute.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def _shift_perm(p: int):
+    return [(i, (i + 1) % p) for i in range(p)]
+
+
+def stripe_transpose(x_local: jax.Array, axis: str = "data") -> jax.Array:
+    """Row stripe (r, N) of A  ->  row stripe (r, N) of A^T."""
+    # all_to_all sends column-block k of my stripe to device k; I receive
+    # every device's block of my columns, concatenated along rows ->
+    # (N, r) = A[:, my_cols]; transpose = my row stripe of A^T.
+    full_cols = jax.lax.all_to_all(
+        x_local, axis, split_axis=1, concat_axis=0, tiled=True
+    )
+    return full_cols.T
+
+
+def ring_pairwise(
+    a_local: jax.Array,
+    b_local: jax.Array,
+    pair_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    axis: str = "data",
+) -> jax.Array:
+    """acc (r_a, N) with acc[:, owner_cols] = pair_fn(a_local, B_owner)."""
+    p = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    r = b_local.shape[0]
+    acc = jnp.zeros((a_local.shape[0], p * r), jnp.float32)
+    block = b_local
+    for s in range(p):
+        owner = (me - s) % p
+        tile = pair_fn(a_local, block).astype(jnp.float32)  # (r_a, r)
+        acc = jax.lax.dynamic_update_slice(acc, tile, (0, owner * r))
+        if s + 1 < p:
+            block = jax.lax.ppermute(block, axis, _shift_perm(p))
+    return acc
+
+
+def ring_contract(
+    a_local: jax.Array, b_local: jax.Array, axis: str = "data"
+) -> jax.Array:
+    """A_stripe (r_a, N) @ B (N, M) with B row-sharded as (r, M) stripes."""
+    p = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    r = b_local.shape[0]
+    acc = jnp.zeros((a_local.shape[0], b_local.shape[1]), jnp.float32)
+    block = b_local
+    for s in range(p):
+        owner = (me - s) % p
+        a_cols = jax.lax.dynamic_slice(
+            a_local, (0, owner * r), (a_local.shape[0], r)
+        )
+        acc = acc + jnp.dot(
+            a_cols,
+            block,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if s + 1 < p:
+            block = jax.lax.ppermute(block, axis, _shift_perm(p))
+    return acc

@@ -68,11 +68,13 @@ def make_train_step(
 ) -> Callable:
     """Build the jitted SSG train step.
 
-    Step signature: ``step(state, images_u8 (B,H,W,3), labels (num_parts,B),
-    rng) -> (state, metrics)``. ``labels[g]`` is branch g's pseudo-label set
-    (SURVEY.md §3.4). When ``ce_weight > 0`` and the model has classifier
-    heads, a per-branch cross-entropy on ``labels`` is added (the SSG++
-    supervised term; labels < 0 are masked out).
+    Step signature: ``step(state, images_u8 (B,H,W,3), labels, rng) ->
+    (state, metrics)``. ``labels[g]``, g < num_parts, is branch g's
+    pseudo-label set (SURVEY.md §3.4). When ``ce_weight > 0`` and the model
+    has classifier heads, ``labels`` carries one extra row
+    ``labels[num_parts]`` of true identity labels (-1 = unknown, masked) and
+    a per-branch cross-entropy on it is added — the SSG++ supervised term
+    (ssg_tpu/train/semi.py).
     """
 
     @jax.jit
@@ -96,10 +98,11 @@ def make_train_step(
                 total = total + loss_g
                 precs.append(prec_g)
             if ce_weight > 0.0 and "logits" in out:
+                id_labels = labels[num_parts]
+                mask = id_labels >= 0
                 for g in range(num_parts):
-                    mask = labels[g] >= 0
                     ce = optax.softmax_cross_entropy_with_integer_labels(
-                        out["logits"][g], jnp.maximum(labels[g], 0)
+                        out["logits"][g], jnp.maximum(id_labels, 0)
                     )
                     total = total + ce_weight * jnp.sum(
                         jnp.where(mask, ce, 0.0)

@@ -10,13 +10,19 @@ Real-TPU runs (bench.py, the driver) do NOT import this file.
 
 import os
 
-# Force CPU: the ambient environment sets JAX_PLATFORMS=axon (the TPU).
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# Force CPU. NOTE: the env var JAX_PLATFORMS is NOT enough here — this
+# environment's sitecustomize registers the 'axon' TPU plugin at interpreter
+# startup and sets jax.config.jax_platforms='axon,cpu', which wins over the
+# env var. Only an explicit config update after that takes effect.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
