@@ -58,10 +58,19 @@ def _dense_remap(labels: np.ndarray) -> np.ndarray:
 
 
 def run_ssg(model, variables, tgt, config: SSGConfig | None = None, logger=None,
-            evaluate_every: int = 1):
+            evaluate_every: int = 1, one_shot: dict[int, int] | None = None,
+            ce_weight: float = 0.0):
     """Run SSG adaptation of ``model`` (initialized with source-trained
-    ``variables``) on target dataset ``tgt``. Returns (state, history)."""
+    ``variables``) on target dataset ``tgt``. Returns (state, history).
+
+    SSG++ ([semitraining.py] rebuild): pass ``one_shot`` ({train index ->
+    true pid}, see train/semi.one_shot_subset) and ``ce_weight`` > 0; the
+    model must have classifier heads sized to the identity count.
+    """
+    from ssg_tpu.train.semi import affiliate_clusters
+
     cfg = config or SSGConfig()
+    semi = one_shot is not None and ce_weight > 0.0
     rng = jax.random.PRNGKey(cfg.seed)
     state = create_train_state(
         model, rng, variables=variables,
@@ -71,6 +80,7 @@ def run_ssg(model, variables, tgt, config: SSGConfig | None = None, logger=None,
     step = make_train_step(
         model, margin=cfg.margin, num_parts=cfg.num_parts,
         height=cfg.height, width=cfg.width,
+        ce_weight=ce_weight if semi else 0.0,
     )
     trainer = Trainer(step, print_freq=cfg.print_freq, logger=logger)
     history = []
@@ -106,6 +116,17 @@ def run_ssg(model, variables, tgt, config: SSGConfig | None = None, logger=None,
         keep = (labels >= 0).all(axis=0)
         kept_idx = np.flatnonzero(keep)
         kept_labels = np.stack([_dense_remap(l[keep]) for l in labels])
+        if semi:
+            # SSG++: extra label row of affiliated true identities (CE term).
+            id_labels = affiliate_clusters(labels[0], one_shot)
+            kept_labels = np.concatenate(
+                [kept_labels, id_labels[kept_idx][None]], axis=0
+            )
+            if logger is not None:
+                logger.metric(
+                    kind="affiliation", iteration=it,
+                    supervised=int((id_labels[kept_idx] >= 0).sum()),
+                )
         for g, (nc, eps) in enumerate(cluster_info):
             print(
                 f"Iteration {it} group {g}: {nc} clusters, eps={eps:.4f}, "
