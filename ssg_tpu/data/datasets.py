@@ -23,6 +23,7 @@ import os
 
 import numpy as np
 
+from ssg_tpu.data import native_loader
 from ssg_tpu.data.synthetic import RAW_H, RAW_W, SyntheticReID
 
 # (train_ids, test_ids, cams) of the real benchmarks — used to shape the
@@ -67,11 +68,15 @@ class DirectoryReID:
         self.num_train_ids = len({pid for _, pid, _ in self.train})
 
     def render(self, fnames: list[str]) -> np.ndarray:
+        paths = [os.path.join(self.images_dir, f) for f in fnames]
+        if native_loader.is_available():
+            # Native threaded decode+resize (C++, native/ssg_data).
+            return native_loader.load_batch(paths, RAW_H, RAW_W)
         from PIL import Image
 
         out = np.empty((len(fnames), RAW_H, RAW_W, 3), dtype=np.uint8)
-        for b, fname in enumerate(fnames):
-            img = Image.open(os.path.join(self.images_dir, fname)).convert("RGB")
+        for b, path in enumerate(paths):
+            img = Image.open(path).convert("RGB")
             img = img.resize((RAW_W, RAW_H), Image.BILINEAR)
             out[b] = np.asarray(img, dtype=np.uint8)
         return out

@@ -1,0 +1,136 @@
+"""Tests for the native C++ data pipeline (native/ssg_data via ctypes).
+
+Oracle: PIL decode (same underlying libjpeg) + float bilinear resize in
+numpy with pixel-center sampling, matching the kernel in
+native/ssg_data/image.cc.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from ssg_tpu.data import native_loader
+
+PIL = pytest.importorskip("PIL.Image")
+
+pytestmark = pytest.mark.skipif(
+    not native_loader.is_available(), reason="libssg_data not built"
+)
+
+
+def _resize_bilinear_np(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    ys = (np.arange(oh) + 0.5) * (h / oh) - 0.5
+    xs = (np.arange(ow) + 0.5) * (w / ow) - 0.5
+    ys = np.clip(ys, 0, h - 1)
+    xs = np.clip(xs, 0, w - 1)
+    y0 = np.clip(ys.astype(int), 0, h - 1)
+    x0 = np.clip(xs.astype(int), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    dy = (ys - y0)[:, None, None]
+    dx = (xs - x0)[None, :, None]
+    f = img.astype(np.float64)
+    top = f[y0][:, x0] * (1 - dx) + f[y0][:, x1] * dx
+    bot = f[y1][:, x0] * (1 - dx) + f[y1][:, x1] * dx
+    return np.clip(top * (1 - dy) + bot * dy + 0.5, 0, 255).astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def image_dir(tmp_path_factory):
+    """A handful of images in every supported format, deterministic pixels."""
+    root = tmp_path_factory.mktemp("imgs")
+    rng = np.random.default_rng(0)
+    paths, arrays = [], []
+    for i, ext in enumerate(["png", "png", "ppm", "jpg"]):
+        arr = rng.integers(0, 256, size=(96 + 8 * i, 48 + 4 * i, 3), dtype=np.uint8)
+        p = os.path.join(root, f"img{i}.{ext}")
+        if ext == "ppm":
+            with open(p, "wb") as f:
+                f.write(b"P6\n# comment\n%d %d\n255\n" % (arr.shape[1], arr.shape[0]))
+                f.write(arr.tobytes())
+        else:
+            PIL.fromarray(arr).save(p, quality=95)
+        paths.append(p)
+        arrays.append(arr)
+    return paths, arrays
+
+
+def test_decode_lossless_formats_exact(image_dir):
+    """PNG and PPM decode must be bit-exact; resize matches the numpy oracle."""
+    paths, arrays = image_dir
+    for p, arr in zip(paths[:3], arrays[:3]):
+        h, w = arr.shape[:2]
+        got = native_loader.decode_resize(p, h, w)  # identity resize
+        np.testing.assert_array_equal(got, arr)
+        oh, ow = 64, 32
+        got = native_loader.decode_resize(p, oh, ow)
+        want = _resize_bilinear_np(arr, oh, ow)
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1  # fp rounding
+
+
+def test_decode_jpeg_close_to_pil(image_dir):
+    """JPEG is lossy but both paths use libjpeg — decoded pixels must agree."""
+    paths, _ = image_dir
+    p = paths[3]
+    pil = np.asarray(PIL.open(p).convert("RGB"))
+    got = native_loader.decode_resize(p, pil.shape[0], pil.shape[1])
+    assert np.abs(got.astype(int) - pil.astype(int)).mean() < 1.0
+
+
+def test_load_batch_threaded_matches_single(image_dir):
+    paths, _ = image_dir
+    many = paths * 8  # 32 images
+    a = native_loader.load_batch(many, 128, 64, num_threads=1)
+    b = native_loader.load_batch(many, 128, 64, num_threads=8)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (32, 128, 64, 3)
+
+
+def test_load_batch_reports_failures(image_dir, tmp_path):
+    paths, _ = image_dir
+    with pytest.raises(IOError):
+        native_loader.load_batch([paths[0], str(tmp_path / "missing.jpg")], 64, 32)
+
+
+def test_batch_loader_prefetch_epochs(image_dir):
+    paths, _ = image_dir
+    many = paths * 3  # 12 images, batch 5 -> 3 batches, tail valid=2
+    ref = native_loader.load_batch(many, 64, 32)
+    loader = native_loader.BatchLoader(many, batch_size=5, height=64, width=32,
+                                       prefetch=2)
+    for _ in range(2):  # two epochs: reset must replay identically
+        got, valids = [], []
+        for images, valid in loader:
+            assert images.shape == (5, 64, 32, 3)
+            got.append(images[:valid])
+            valids.append(valid)
+        assert valids == [5, 5, 2]
+        np.testing.assert_array_equal(np.concatenate(got), ref)
+    loader.close()
+
+
+def test_directory_dataset_uses_native(tmp_path, monkeypatch):
+    """DirectoryReID.render goes through the native path and matches PIL."""
+    from ssg_tpu.data import datasets
+    from ssg_tpu.data.synthetic import RAW_H, RAW_W
+
+    images = tmp_path / "images"
+    images.mkdir()
+    rng = np.random.default_rng(1)
+    names = []
+    for i in range(4):
+        arr = rng.integers(0, 256, size=(160, 70, 3), dtype=np.uint8)
+        name = f"{i:08d}_{i % 2:02d}_0000.png"
+        PIL.fromarray(arr).save(images / name)
+        names.append(name)
+    ds = datasets.create("market1501", root=str(tmp_path))
+    assert type(ds).__name__ == "DirectoryReID"
+    native = ds.render(names)
+    monkeypatch.setattr(native_loader, "is_available", lambda: False)
+    pil = ds.render(names)
+    assert native.shape == pil.shape == (4, RAW_H, RAW_W, 3)
+    # Different bilinear implementations (PIL area-weighted vs pixel-center):
+    # agree to within a small mean error on random pixels.
+    assert np.abs(native.astype(int) - pil.astype(int)).mean() < 30
