@@ -32,6 +32,7 @@ _BENCHMARKS = {
     "market1501": dict(train_ids=751, test_ids=750, cams=6),
     "dukemtmc": dict(train_ids=702, test_ids=702, cams=8),
     "msmt17": dict(train_ids=1041, test_ids=3060, cams=15),
+    "cuhk03": dict(train_ids=1367, test_ids=100, cams=2),
 }
 
 _SCALES = {

@@ -1,6 +1,7 @@
 """Model factory, mirroring the reference's ``models.create`` surface
 ([reid/models/__init__.py], SURVEY.md §2 #3)."""
 
+from ssg_tpu.models.inception import SSGInception, inception
 from ssg_tpu.models.resnet import SSGResNet, resnet18, resnet34, resnet50, resnet101, resnet152
 
 _FACTORY = {
@@ -9,6 +10,7 @@ _FACTORY = {
     "resnet50": resnet50,
     "resnet101": resnet101,
     "resnet152": resnet152,
+    "inception": inception,
 }
 
 

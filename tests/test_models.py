@@ -85,9 +85,11 @@ def test_flax_model_shapes_and_train_mode(rng):
 
 
 def test_model_factory():
-    assert models.names() == ["resnet101", "resnet152", "resnet18", "resnet34", "resnet50"]
+    assert models.names() == [
+        "inception", "resnet101", "resnet152", "resnet18", "resnet34", "resnet50",
+    ]
     with pytest.raises(KeyError):
-        models.create("inception")
+        models.create("vgg16")
 
 
 def test_torchvision_style_checkpoint_loads():
