@@ -132,24 +132,33 @@ class Trainer:
         arrays. Returns the updated state."""
         losses, precs, batch_time = AverageMeter(), AverageMeter(), AverageMeter()
         end = time.time()
+        pending = []  # device-side metrics; synced only at print_freq so
+        # step dispatch stays asynchronous (no per-step block_until_ready)
         for i, (images, labels) in enumerate(batch_iter):
             rng, k = jax.random.split(rng)
             state, metrics = self.step_fn(state, jnp.asarray(images), jnp.asarray(labels), k)
-            loss = float(metrics["loss"])
-            prec = float(metrics["prec"])
-            losses.update(loss, images.shape[0])
-            precs.update(prec, images.shape[0])
+            pending.append((i, images.shape[0], metrics))
             batch_time.update(time.time() - end)
             end = time.time()
             if (i + 1) % self.print_freq == 0:
+                self._drain(epoch, pending, losses, precs)
                 print(
                     f"Epoch: [{epoch}][{i + 1}]\t"
                     f"Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t"
                     f"Loss {losses.val:.3f} ({losses.avg:.3f})\t"
                     f"Prec {precs.val:.2%} ({precs.avg:.2%})"
                 )
+        self._drain(epoch, pending, losses, precs)
+        return state
+
+    def _drain(self, epoch, pending, losses, precs):
+        for i, bs, metrics in pending:
+            loss = float(metrics["loss"])
+            prec = float(metrics["prec"])
+            losses.update(loss, bs)
+            precs.update(prec, bs)
             if self.logger is not None:
                 self.logger.metric(
                     kind="train_step", epoch=epoch, step=i, loss=loss, prec=prec
                 )
-        return state
+        pending.clear()
