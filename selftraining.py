@@ -89,6 +89,9 @@ def load_model_and_variables(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from ssg_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from ssg_tpu import api
     from ssg_tpu.data import datasets
     from ssg_tpu.train.ssg_loop import SSGConfig, run_ssg

@@ -26,6 +26,9 @@ def main(argv=None):
     parser.add_argument("--one_shot_seed", type=int, default=0)
     args = parser.parse_args(argv)
 
+    from ssg_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from ssg_tpu import api
     from ssg_tpu.data import datasets
     from ssg_tpu.train.semi import one_shot_subset
