@@ -42,7 +42,7 @@ def main():
     from ssg_tpu import models
     from ssg_tpu.api import cluster, extract_features, re_ranking
     from ssg_tpu.data import datasets
-    from ssg_tpu.data.preprocessor import Preprocessor
+    from ssg_tpu.data.synthetic_device import DeviceRenderer
 
     dev = jax.devices()[0]
     rng = np.random.default_rng(0)
@@ -54,13 +54,15 @@ def main():
         train=False,
     )
 
-    # Pre-render the synthetic image batch stream (host data prep is not the
-    # device metric; real deployments stream from the native loader).
+    # Pre-render the synthetic image batch stream ON DEVICE (host data prep
+    # is not the device metric; real deployments stream from the native
+    # loader, and this environment's host->device path is tunnel-limited).
     ds = datasets.create("market1501", scale=0.45, seed=0)
     items = (ds.train + ds.query + ds.gallery)[:N]
     assert len(items) == N, f"synthetic dataset too small: {len(items)}"
-    pre = Preprocessor(ds, items=items, batch_size=BATCH)
-    batches = [(jnp.asarray(b[0]), b[3]) for b in pre]
+    renderer = DeviceRenderer(ds)
+    batches = [(imgs, mask) for imgs, _, _, mask in renderer.batches(items, BATCH)]
+    jax.block_until_ready([im for im, _ in batches])
 
     # --- extract (warmup once for compile, then timed pass) ---------------
     from ssg_tpu.api import _forward_eval

@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--resume", type=str, default="",
                    help="checkpoint: orbax dir or torch .pth(.tar)")
+    p.add_argument("--resume_loop", type=str, default="",
+                   help="loop checkpoint dir (params+opt_state+iteration) "
+                        "to continue an interrupted SSG run")
     p.add_argument("--evaluate", action="store_true",
                    help="eval only (reference --evaluate short-circuit)")
     p.add_argument("--rerank", action="store_true",
@@ -126,7 +129,8 @@ def main(argv=None):
         height=args.height, width=args.width, print_freq=args.print_freq,
         seed=args.seed, eval_rerank=args.rerank, logs_dir=args.logs_dir,
     )
-    _, history = run_ssg(model, variables, tgt, cfg, logger=logger)
+    _, history = run_ssg(model, variables, tgt, cfg, logger=logger,
+                         resume_from=args.resume_loop or None)
     if history and "mAP" in history[-1]:
         print(f"final mAP {history[-1]['mAP']:.1%}")
     return 0

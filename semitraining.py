@@ -95,6 +95,7 @@ def main(argv=None):
     _, history = run_ssg(
         model, variables, tgt, cfg, logger=logger,
         one_shot=one_shot, ce_weight=args.ce_weight,
+        resume_from=args.resume_loop or None,
     )
     if history and "mAP" in history[-1]:
         print(f"final mAP {history[-1]['mAP']:.1%}")

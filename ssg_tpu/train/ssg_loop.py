@@ -22,7 +22,7 @@ from ssg_tpu import api
 from ssg_tpu.data.preprocessor import Preprocessor
 from ssg_tpu.data.sampler import RandomIdentitySampler
 from ssg_tpu.train.trainer import Trainer, create_train_state, make_train_step
-from ssg_tpu.utils.serialization import save_checkpoint
+from ssg_tpu.utils.serialization import load_checkpoint, save_checkpoint
 
 
 @dataclasses.dataclass
@@ -59,24 +59,48 @@ def _dense_remap(labels: np.ndarray) -> np.ndarray:
 
 def run_ssg(model, variables, tgt, config: SSGConfig | None = None, logger=None,
             evaluate_every: int = 1, one_shot: dict[int, int] | None = None,
-            ce_weight: float = 0.0):
+            ce_weight: float = 0.0, resume_from: str | None = None):
     """Run SSG adaptation of ``model`` (initialized with source-trained
     ``variables``) on target dataset ``tgt``. Returns (state, history).
 
     SSG++ ([semitraining.py] rebuild): pass ``one_shot`` ({train index ->
     true pid}, see train/semi.one_shot_subset) and ``ce_weight`` > 0; the
     model must have classifier heads sized to the identity count.
+
+    ``resume_from``: path of a loop checkpoint (params + opt_state +
+    iteration, as written each iteration below) — continues from the next
+    clustering iteration with the optimizer state intact (SURVEY.md §5
+    checkpoint/resume row).
     """
     from ssg_tpu.train.semi import affiliate_clusters
 
     cfg = config or SSGConfig()
     semi = one_shot is not None and ce_weight > 0.0
     rng = jax.random.PRNGKey(cfg.seed)
+    start_iter = 0
+    if resume_from is not None:
+        ckpt = load_checkpoint(resume_from)
+        variables = {"params": ckpt["params"],
+                     "batch_stats": ckpt["batch_stats"]}
+        start_iter = int(ckpt["iteration"]) + 1
+        print(f"Resumed from {resume_from}: continuing at iteration {start_iter}")
     state = create_train_state(
         model, rng, variables=variables,
         learning_rate=cfg.lr, weight_decay=cfg.weight_decay,
         input_shape=(2, cfg.height, cfg.width, 3),
     )
+    if resume_from is not None and "opt_state" in ckpt:
+        # Orbax returns plain lists/dicts; rebuild the optimizer pytree
+        # structure from the freshly-created state (leaf order is stable:
+        # dicts flatten key-sorted on both sides, sequences keep order).
+        treedef = jax.tree.structure(state.opt_state)
+        leaves = jax.tree.leaves(ckpt["opt_state"])
+        restored = jax.tree.unflatten(treedef, leaves)
+        restored = jax.tree.map(
+            lambda ref, val: jax.numpy.asarray(val, ref.dtype),
+            state.opt_state, restored,
+        )
+        state = state.replace(opt_state=restored)
     step = make_train_step(
         model, margin=cfg.margin, num_parts=cfg.num_parts,
         height=cfg.height, width=cfg.width,
@@ -86,7 +110,7 @@ def run_ssg(model, variables, tgt, config: SSGConfig | None = None, logger=None,
     history = []
     best_map = -1.0
 
-    for it in range(cfg.iterations):
+    for it in range(start_iter, cfg.iterations):
         t_iter = time.time()
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 

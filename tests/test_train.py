@@ -64,6 +64,33 @@ def test_ssg_loop_end_to_end(tmp_path):
     assert (tmp_path / "checkpoint").exists()
 
 
+def test_ssg_loop_resume_continues_iteration(tmp_path):
+    """resume_from restores params/opt_state and continues at iteration+1
+    (SURVEY.md §5 checkpoint/resume row)."""
+    from ssg_tpu.models.resnet import BasicBlock, SSGResNet
+
+    tgt = datasets.create("market1501", scale="tiny", seed=2)
+    model = SSGResNet(stage_sizes=(1, 1), block=BasicBlock, num_features=16,
+                      dtype=jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 64, 32, 3)), train=False
+    )
+    cfg = SSGConfig(
+        iterations=2, epochs=1, batch_size=16, num_instances=2,
+        k1=8, k2=3, rho=0.02, min_samples=2, height=64, width=32,
+        logs_dir=str(tmp_path), print_freq=1,
+    )
+    orig_render = tgt.render
+    tgt.render = lambda fnames: orig_render(fnames)[:, ::4, ::4, :]
+
+    one_iter = SSGConfig(**{**cfg.__dict__, "iterations": 1})
+    run_ssg(model, variables, tgt, one_iter)
+
+    _, history = run_ssg(model, variables, tgt, cfg,
+                         resume_from=str(tmp_path / "checkpoint"))
+    assert [h["iteration"] for h in history] == [1]  # skipped iteration 0
+
+
 def test_checkpoint_roundtrip(tmp_path, rng):
     from ssg_tpu.utils.serialization import load_checkpoint, save_checkpoint
 
