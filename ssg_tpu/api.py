@@ -29,6 +29,7 @@ __all__ = [
     "extract_features",
     "re_ranking",
     "cluster",
+    "cluster_groups",
     "train",
     "pairwise_distance",
     "evaluate_all",
@@ -89,6 +90,57 @@ def cluster(
     eps_val = _select_eps(d, rho=rho) if eps is None else jnp.float32(eps)
     labels, n = _dbscan(d, eps_val, min_samples=min_samples)
     return np.asarray(labels), int(n), float(eps_val)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k1", "k2", "lambda_value", "rho", "min_samples", "l1_impl"),
+)
+def _analytics_impl(feats, k1, k2, lambda_value, rho, min_samples, l1_impl):
+    """Fused per-group analytics: re-rank -> eps -> DBSCAN for every feature
+    group in ONE graph (static unroll over the group axis). One dispatch and
+    one host sync per SSG iteration instead of ~9 — dispatch/sync round-trips
+    through the device transport otherwise dominate the clustering step."""
+    from ssg_tpu.ops.rerank import _re_ranking_impl
+
+    labels, counts, epss = [], [], []
+    for g in range(feats.shape[0]):
+        original = pairwise_distance(feats[g], squared=True)
+        dist = _re_ranking_impl(original, k1, k2, lambda_value, l1_impl)
+        eps_g = _select_eps(dist, rho=rho)
+        labels_g, n_g = _dbscan(dist, eps_g, min_samples=min_samples)
+        labels.append(labels_g)
+        counts.append(n_g)
+        epss.append(eps_g)
+    return jnp.stack(labels), jnp.stack(counts), jnp.stack(epss)
+
+
+def cluster_groups(
+    feats: jax.Array,
+    k1: int = 20,
+    k2: int = 6,
+    lambda_value: float = 0.1,
+    rho: float = 1.6e-3,
+    min_samples: int = 4,
+    l1_impl: str = "auto",
+):
+    """The full SSG per-iteration analytics block for all feature groups.
+
+    Args:
+      feats: (num_parts, N, F) embeddings (extract_features output).
+
+    Returns (labels (num_parts, N) np.int32, n_clusters list, eps list) —
+    per group, identical to re_ranking + cluster called separately.
+    """
+    labels, counts, epss = _analytics_impl(
+        jnp.asarray(feats), int(k1), int(k2), float(lambda_value), float(rho),
+        int(min_samples), l1_impl,
+    )
+    return (
+        np.asarray(labels),
+        [int(c) for c in np.asarray(counts)],
+        [float(e) for e in np.asarray(epss)],
+    )
 
 
 def evaluate_all(distmat, query, gallery, logger=None):

@@ -119,22 +119,15 @@ def run_ssg(model, variables, tgt, config: SSGConfig | None = None, logger=None,
         feats, _, cams, fnames = api.extract_features(model, variables, pre)
         n = feats.shape[1]
 
-        # 2) Per feature group: k-reciprocal re-rank + auto-eps DBSCAN,
-        #    all on device (SURVEY.md §3.1a-c).
+        # 2) Per feature group: k-reciprocal re-rank + auto-eps DBSCAN, all
+        #    on device as ONE fused graph (SURVEY.md §3.1a-c).
         t_cluster = time.time()
-        labels_parts, cluster_info = [], []
-        for g in range(cfg.num_parts):
-            dist = api.re_ranking(
-                features=feats[g], k1=cfg.k1, k2=cfg.k2,
-                lambda_value=cfg.lambda_value,
-            )
-            labels_g, n_clusters, eps = api.cluster(
-                dist, rho=cfg.rho, min_samples=cfg.min_samples
-            )
-            labels_parts.append(labels_g)
-            cluster_info.append((n_clusters, eps))
+        labels, counts, epss = api.cluster_groups(
+            feats, k1=cfg.k1, k2=cfg.k2, lambda_value=cfg.lambda_value,
+            rho=cfg.rho, min_samples=cfg.min_samples,
+        )
+        cluster_info = list(zip(counts, epss))
         t_cluster = time.time() - t_cluster
-        labels = np.stack(labels_parts)  # (num_parts, N)
 
         # 3) Join rule: keep images clustered in every group.
         keep = (labels >= 0).all(axis=0)
