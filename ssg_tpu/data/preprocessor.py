@@ -40,6 +40,10 @@ class Preprocessor:
         return self.dataset.render(fnames), pids, cams
 
     def __iter__(self):
+        stream = self._native_stream()
+        if stream is not None:
+            yield from stream
+            return
         bs = self.batch_size
         for start in range(0, len(self.items), bs):
             chunk = self.items[start : start + bs]
@@ -56,3 +60,39 @@ class Preprocessor:
                 cams = np.concatenate([cams, np.repeat(cams[-1:], pad)], 0)
                 mask[n:] = False
             yield images, pids, cams, mask
+
+    def _native_stream(self):
+        """Background-prefetching iteration for on-disk datasets: the C++
+        loader (native/ssg_data) decodes batch i+1 while batch i is on the
+        device — the reference's DataLoader-worker overlap, without worker
+        processes."""
+        import os
+
+        from ssg_tpu.data import native_loader
+
+        images_dir = getattr(self.dataset, "images_dir", None)
+        if images_dir is None or not native_loader.is_available():
+            return None
+        from ssg_tpu.data.synthetic import RAW_H, RAW_W
+
+        paths = [os.path.join(images_dir, f) for f, _, _ in self.items]
+        bs = self.batch_size
+        loader = native_loader.BatchLoader(paths, batch_size=bs,
+                                           height=RAW_H, width=RAW_W)
+
+        def gen():
+            try:
+                for start, (images, valid) in zip(
+                    range(0, len(self.items), bs), loader
+                ):
+                    chunk = self.items[start : start + bs]
+                    chunk = chunk + [chunk[-1]] * (bs - len(chunk))
+                    pids = np.asarray([p for _, p, _ in chunk], dtype=np.int32)
+                    cams = np.asarray([c for _, _, c in chunk], dtype=np.int32)
+                    mask = np.ones((bs,), dtype=bool)
+                    mask[valid:] = False
+                    yield images, pids, cams, mask
+            finally:
+                loader.close()
+
+        return gen()
