@@ -62,15 +62,17 @@ def _re_ranking_impl(
 
     r = m1 & m1.T  # k-reciprocal sets R(i, k1)
     rh = mh & mh.T  # R(i, k1/2)
-    rf = r.astype(jnp.float32)
-    rhf = rh.astype(jnp.float32)
+    # bf16 mask GEMMs: inputs are 0/1 and accumulation is fp32, so the
+    # counts (<= k1+1) are EXACT while the MXU runs at native bf16 rate.
+    rf = r.astype(jnp.bfloat16)
+    rhf = rh.astype(jnp.bfloat16)
 
     # Candidate expansion: |R(i) ∩ Rh(c)| > 2/3 |Rh(c)| for c in R(i).
     overlap = jnp.dot(rf, rhf.T, preferred_element_type=jnp.float32)
-    sz = jnp.sum(rhf, axis=1)
+    sz = jnp.sum(rh.astype(jnp.float32), axis=1)
     qualify = r & (overlap > (2.0 / 3.0) * sz[None, :])
     expanded = r | (
-        jnp.dot(qualify.astype(jnp.float32), rhf, preferred_element_type=jnp.float32)
+        jnp.dot(qualify.astype(jnp.bfloat16), rhf, preferred_element_type=jnp.float32)
         > 0.0
     )
 

@@ -96,22 +96,22 @@ def sharded_re_ranking(
 
         r_mask = m1 & stripe_transpose(m1)  # k-reciprocal sets (stripe)
         rh_mask = mh & stripe_transpose(mh)
-        rf = r_mask.astype(jnp.float32)
-        rhf = rh_mask.astype(jnp.float32)
+        # bf16 mask stripes: 0/1 values, fp32 accumulation — counts exact,
+        # MXU at native bf16 rate, and half the per-chip HBM for the two
+        # biggest stripes (matters for the O(N^2/P) memory envelope).
+        rf = r_mask.astype(jnp.bfloat16)
+        rhf = rh_mask.astype(jnp.bfloat16)
 
         # --- 2/3-overlap candidate expansion ----------------------------
         def gemm_tile(a, b):  # overlap[i, c] = sum_k a[i,k] b[c,k]
-            return jnp.dot(
-                a, b.T, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            return jnp.dot(a, b.T, preferred_element_type=jnp.float32)
 
         overlap = ring_pairwise(rf, rhf, gemm_tile)  # (r, npad)
-        sz_local = jnp.sum(rhf, axis=1)
+        sz_local = jnp.sum(rh_mask.astype(jnp.float32), axis=1)
         sz = jax.lax.all_gather(sz_local, "data", tiled=True)  # (npad,)
         qualify = r_mask & (overlap > (2.0 / 3.0) * sz[None, :])
         expanded = r_mask | (
-            ring_contract(qualify.astype(jnp.float32), rhf) > 0.0
+            ring_contract(qualify.astype(jnp.bfloat16), rhf) > 0.0
         )
 
         # --- Gaussian-weighted encoding + query expansion ---------------
