@@ -77,7 +77,10 @@ def make_train_step(
     (ssg_tpu/train/semi.py).
     """
 
-    @jax.jit
+    # donate_argnums: the old state's param/opt buffers are dead after the
+    # update — letting XLA write the new state in place halves peak HBM for
+    # the optimizer step.
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, images_u8, labels, rng):
         k_aug, k_drop = jax.random.split(rng)
         x = transforms.train_transform(k_aug, images_u8, height, width)
