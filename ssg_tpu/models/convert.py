@@ -89,6 +89,53 @@ def torch_to_flax(state_dict: Mapping[str, Any]) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def flax_to_torch(variables: Mapping[str, Any]) -> dict:
+    """Inverse of torch_to_flax: flax variables -> a torch-style state_dict
+    (numpy tensors), so models trained here export back to the reference's
+    ecosystem (``backbone.conv1.weight`` naming, OIHW/OI layouts)."""
+
+    out: dict[str, np.ndarray] = {}
+
+    def emit(prefix: str, leaf: str, value: np.ndarray):
+        # flax "layer1_0" path segments -> torch "layer1.0";
+        # "downsample_conv"/"downsample_bn" -> "downsample.0"/"downsample.1".
+        key = f"{prefix}.{leaf}" if prefix else leaf
+        key = key.replace("downsample_conv", "downsample.0")
+        key = key.replace("downsample_bn", "downsample.1")
+        import re
+
+        key = re.sub(r"layer(\d+)_(\d+)", r"layer\1.\2", key)
+        out[key] = value
+
+    def walk(node, prefix, is_stats):
+        for name, value in node.items():
+            sub = f"{prefix}.{name}" if prefix else name
+            if isinstance(value, Mapping):
+                walk(value, sub, is_stats)
+                continue
+            arr = np.asarray(value)
+            parent = prefix
+            if name == "kernel":
+                if arr.ndim == 4:  # HWIO -> OIHW
+                    emit(parent, "weight", arr.transpose(3, 2, 0, 1))
+                else:  # IO -> OI
+                    emit(parent, "weight", arr.T)
+            elif name == "scale":
+                emit(parent, "weight", arr)
+            elif name == "bias":
+                emit(parent, "bias", arr)
+            elif name == "mean":
+                emit(parent, "running_mean", arr)
+            elif name == "var":
+                emit(parent, "running_var", arr)
+            else:
+                raise KeyError(f"Unhandled flax leaf: {sub}")
+
+    walk(variables.get("params", {}), "", False)
+    walk(variables.get("batch_stats", {}), "", True)
+    return out
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a .pth(.tar) checkpoint file and convert. Handles the
     reference's ``save_checkpoint`` format ({'state_dict': …, 'epoch': …},

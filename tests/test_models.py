@@ -104,3 +104,25 @@ def test_torchvision_style_checkpoint_loads():
     assert "layer4_2" in variables["params"]["backbone"]
     assert variables["params"]["backbone"]["conv1"]["kernel"].shape == (7, 7, 3, 64)
     assert variables["batch_stats"]["backbone"]["bn1"]["mean"].shape == (64,)
+
+
+def test_flax_torch_roundtrip():
+    """flax -> torch -> flax must be the identity (layouts and naming)."""
+    from ssg_tpu.models.convert import flax_to_torch
+
+    model = models.create("resnet18", num_features=8, num_classes=5,
+                          num_parts=3)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((2, 64, 32, 3), jnp.float32), train=False)
+    sd = flax_to_torch(jax.tree.map(np.asarray, variables))
+    assert "backbone.conv1.weight" in sd
+    assert sd["backbone.conv1.weight"].shape == (64, 3, 7, 7)
+    assert "backbone.layer1.0.conv1.weight" in sd
+    back = torch_to_flax(sd)
+    flat_a = jax.tree_util.tree_flatten_with_path(
+        jax.tree.map(np.asarray, variables))[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(back)[0]
+    b_by_path = {jax.tree_util.keystr(p): v for p, v in flat_b}
+    for path, a in flat_a:
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_array_equal(a, b_by_path[key], err_msg=key)
