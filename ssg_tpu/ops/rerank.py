@@ -53,10 +53,12 @@ def _re_ranking_impl(
     col_max = jnp.maximum(jnp.max(original_dist, axis=0), 1e-12)
     orig = (original_dist / col_max).T
 
-    # Rank-list membership masks.
+    # Rank-list membership masks. approx_min_k with recall_target=1.0 is the
+    # TPU-native exact top-k (two-pass partial reduction instead of a full
+    # sort — the sorts were ~25% of this graph's device time).
     half = int(round(k1 / 2.0))
-    _, nn1 = jax.lax.top_k(-orig, k1 + 1)
-    _, nnh = jax.lax.top_k(-orig, half + 1)
+    _, nn1 = jax.lax.approx_min_k(orig, k1 + 1, recall_target=1.0)
+    _, nnh = jax.lax.approx_min_k(orig, half + 1, recall_target=1.0)
     m1 = _membership(nn1, n)
     mh = _membership(nnh, n)
 
@@ -82,7 +84,7 @@ def _re_ranking_impl(
 
     # Local query expansion over the k2 nearest neighbors.
     if k2 != 1:
-        _, nn2 = jax.lax.top_k(-orig, k2)
+        _, nn2 = jax.lax.approx_min_k(orig, k2, recall_target=1.0)
         a2 = _membership(nn2, n).astype(jnp.float32)
         # HIGHEST: V carries real values (not 0/1 counts like the masks
         # above), so default bf16 MXU passes would cost parity here.
