@@ -53,29 +53,31 @@ def dbscan(
     core = jnp.sum(adj, axis=1) >= min_samples
 
     idx = jnp.arange(n, dtype=jnp.int32)
-    labels = jnp.where(core, idx, big)
     adj_core = adj & core[None, :] & core[:, None]
 
-    def propagate(labels):
-        neigh = jnp.where(adj_core, labels[None, :], big)
-        new = jnp.minimum(labels, jnp.min(neigh, axis=1))
-        # Path halving: follow the label pointer once (labels index points).
-        # Measured on v5e: ONE hop per round is optimal — extra hops cost
-        # more in gather latency than they save in rounds.
-        hop = jnp.where(new < big, new, 0)
-        new = jnp.where(new < big, jnp.minimum(new, jnp.take(new, hop)), new)
-        return new
-
-    def cond(state):
-        _, changed = state
-        return changed
+    # Connected components by transitive-closure squaring: each round
+    # doubles the reachable path length with ONE boolean GEMM on the MXU
+    # (0/1 bf16 operands, fp32 accumulation — nonzero-ness is exact), so
+    # convergence takes ceil(log2(diameter)) rounds instead of a
+    # diameter-length chain of latency-bound min-propagation steps.
+    reach0 = adj_core | (jnp.eye(n, dtype=bool) & core[:, None])
 
     def body(state):
-        labels, _ = state
-        new = propagate(labels)
-        return new, jnp.any(new != labels)
+        reach, _ = state
+        r16 = reach.astype(jnp.bfloat16)
+        new = reach | (
+            jnp.dot(r16, r16, preferred_element_type=jnp.float32) > 0.0
+        )
+        return new, jnp.any(new != reach)
 
-    labels, _ = jax.lax.while_loop(cond, body, (labels, jnp.bool_(True)))
+    reach, _ = jax.lax.while_loop(
+        lambda s: s[1], body, (reach0, jnp.bool_(True))
+    )
+
+    # Core label = smallest index in the component (sklearn discovery order).
+    labels = jnp.where(
+        core, jnp.min(jnp.where(reach, idx[None, :], big), axis=1), big
+    )
 
     # Border points: nearest (by discovery order) adjacent core component.
     core_neigh_label = jnp.min(
