@@ -65,6 +65,7 @@ def make_train_step(
     ce_weight: float = 0.0,
     height: int = 256,
     width: int = 128,
+    remat: bool = False,
 ) -> Callable:
     """Build the jitted SSG train step.
 
@@ -85,14 +86,24 @@ def make_train_step(
         k_aug, k_drop = jax.random.split(rng)
         x = transforms.train_transform(k_aug, images_u8, height, width)
 
-        def loss_fn(params):
-            out, updates = model.apply(
+        def apply_fn(params, x):
+            return model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 x,
                 train=True,
                 mutable=["batch_stats"],
                 rngs={"dropout": k_drop},
             )
+
+        if remat:
+            # Rematerialize backbone activations in the backward pass:
+            # trades ~30% extra FLOPs for O(sqrt(depth)) activation memory —
+            # the HBM lever for large P x K batches (SURVEY.md §7 bf16/memory
+            # row; jax.checkpoint is the idiomatic XLA mechanism).
+            apply_fn = jax.checkpoint(apply_fn)
+
+        def loss_fn(params):
+            out, updates = apply_fn(params, x)
             emb = out["embeddings"]  # (num_parts, B, F)
             total = 0.0
             precs = []

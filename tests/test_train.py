@@ -103,3 +103,29 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(back["params"]["w"], state["params"]["w"])
     best = load_checkpoint(str(tmp_path / "model_best"))
     assert int(best["iteration"]) == 3
+
+
+def test_train_step_remat_matches(rng):
+    """remat=True must not change the update (same loss, same params)."""
+    from ssg_tpu.models.resnet import BasicBlock, SSGResNet
+    from ssg_tpu.train.trainer import create_train_state, make_train_step
+
+    model = SSGResNet(stage_sizes=(1, 1), block=BasicBlock, num_features=8,
+                      dtype=jnp.float32)
+    images = (np.abs(rng.normal(size=(8, 64, 32, 3))) * 80).astype(np.uint8)
+    labels = np.tile(np.repeat(np.arange(2), 4)[None], (3, 1))
+
+    outs = []
+    for remat in (False, True):
+        state = create_train_state(model, jax.random.PRNGKey(0),
+                                   input_shape=(2, 64, 32, 3))
+        step = make_train_step(model, num_parts=3, height=64, width=32,
+                               remat=remat)
+        state, m = step(state, jnp.asarray(images), jnp.asarray(labels),
+                        jax.random.PRNGKey(1))
+        outs.append((float(m["loss"]), state.params))
+    assert abs(outs[0][0] - outs[1][0]) <= 1e-5 * max(abs(outs[0][0]), 1.0)
+    a = jax.tree.leaves(outs[0][1])
+    b = jax.tree.leaves(outs[1][1])
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
