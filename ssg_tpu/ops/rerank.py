@@ -78,9 +78,11 @@ def _re_ranking_impl(
         > 0.0
     )
 
-    # Gaussian-weighted sparse encoding, row-normalized.
+    # Gaussian-weighted sparse encoding, row-normalized (guard: a row whose
+    # reciprocal set is empty — possible under heavy distance ties — must
+    # yield zeros, not NaNs).
     w = jnp.where(expanded, jnp.exp(-orig), 0.0)
-    v = w / jnp.sum(w, axis=1, keepdims=True)
+    v = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-30)
 
     # Local query expansion over the k2 nearest neighbors.
     if k2 != 1:
@@ -127,4 +129,8 @@ def re_ranking(
         original = pairwise_distance(features, squared=True)
     else:
         original = jnp.square(dist.astype(jnp.float32))
+    n = original.shape[0]
+    # Clamp neighborhood sizes for tiny inputs (k lists can't exceed N).
+    k1 = min(int(k1), n - 1)
+    k2 = min(int(k2), n - 1)
     return _re_ranking_impl(original, k1, k2, float(lambda_value), l1_impl)
