@@ -53,6 +53,8 @@ def sharded_re_ranking(
     n = features.shape[0]
     f = _pad_rows(features.astype(jnp.float32), p)
     npad = f.shape[0]
+    k1 = min(int(k1), n - 1)  # k lists can't exceed N (tiny-input clamp)
+    k2 = min(int(k2), n - 1)
     half = int(round(k1 / 2.0))
     use_pallas_l1 = on_tpu()
 
