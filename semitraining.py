@@ -44,7 +44,11 @@ def main(argv=None):
     tgt = datasets.create(args.tgt_dataset, root=root, scale=args.scale,
                           seed=args.seed)
     one_shot = one_shot_subset(tgt.train, seed=args.one_shot_seed)
-    num_ids = len({pid for _, pid, _ in tgt.train})
+    # CE class indices must be dense 0..K-1; real benchmark pids are sparse
+    # (e.g. Market ids run to 1501), so remap the one-shot labels.
+    dense = {p: i for i, p in enumerate(sorted({pid for _, pid, _ in tgt.train}))}
+    one_shot = {idx: dense[pid] for idx, pid in one_shot.items()}
+    num_ids = len(dense)
     print(f"target {args.tgt_dataset}: train={len(tgt.train)} "
           f"one-shot={len(one_shot)} ids={num_ids}")
 

@@ -43,11 +43,12 @@ def _l1_kernel(x_ref, y_ref, out_ref, acc_ref, *, k_steps: int):
 def _l1_pallas(
     x: jax.Array,
     y: jax.Array,
-    # Tile constraint: last block dim must be a multiple of 128; the
-    # (tm, tn, tk) broadcast intermediate must fit VMEM (64*128*128*4 = 4 MB).
-    tm: int = 64,
+    # Tiles swept on v5e at N=3368 (scripts/perf_l1.py): (128,128,256) runs
+    # 19x faster than the naive (64,128,128) — Mosaic vectorizes the K sweep
+    # without materializing the full (tm,tn,tk) broadcast.
+    tm: int = 128,
     tn: int = 128,
-    tk: int = 128,
+    tk: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
     m, d = x.shape
