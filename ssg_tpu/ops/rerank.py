@@ -84,13 +84,23 @@ def _re_ranking_impl(
     w = jnp.where(expanded, jnp.exp(-orig), 0.0)
     v = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-30)
 
-    # Local query expansion over the k2 nearest neighbors: a k2-sparse row
-    # average. Gather+mean moves O(k2 N^2) bytes instead of the O(N^3)
-    # fp32-HIGHEST GEMM a one-hot formulation would cost (~14 ms/group at
-    # N=3368), and keeps full fp32 accuracy.
+    # Local query expansion over the k2 nearest neighbors (one-hot GEMM).
+    # Measured on v5e at N=3368: the MXU GEMM beats a gather+mean of the k2
+    # rows (TPU gathers are slow) despite the O(N^3) flop count.
     if k2 != 1:
         _, nn2 = jax.lax.approx_min_k(orig, k2, recall_target=1.0)
-        v = jnp.mean(jnp.take(v, nn2, axis=0), axis=1)
+        a2 = _membership(nn2, n).astype(jnp.float32)
+        # HIGHEST: V carries real values (not 0/1 counts like the masks
+        # above), so default bf16 MXU passes would cost parity here.
+        v = (
+            jnp.dot(
+                a2,
+                v,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            / float(k2)
+        )
 
     # Jaccard via the L1 identity: sum_k min(a,b) = (S_a + S_b - |a-b|_1)/2.
     s = jnp.sum(v, axis=1)
