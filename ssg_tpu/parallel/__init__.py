@@ -14,6 +14,7 @@ All paths are testable on the virtual 8-device CPU mesh
 (``--xla_force_host_platform_device_count=8``, SURVEY.md §4.3).
 """
 
+from ssg_tpu.parallel.dp import replicate, shard_batch
 from ssg_tpu.parallel.mesh import make_mesh
 from ssg_tpu.parallel.sharded import (
     sharded_dbscan,

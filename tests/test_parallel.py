@@ -104,3 +104,18 @@ def test_dp_train_step_runs_on_mesh(mesh, rng):
     state2, metrics = step(state, images_sharded,
                            jnp.asarray(labels), jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_dp_helpers_shard_and_replicate():
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ssg_tpu.parallel import make_mesh, replicate, shard_batch
+
+    mesh = make_mesh(8)
+    batch = {"x": np.zeros((16, 4), np.float32), "y": np.zeros((16,), np.int32)}
+    sharded = shard_batch(mesh, batch)
+    assert sharded["x"].sharding == NamedSharding(mesh, P("data"))
+    params = replicate(mesh, {"w": np.ones((3, 3), np.float32)})
+    assert params["w"].sharding == NamedSharding(mesh, P())
+    assert params["w"].is_fully_replicated
