@@ -20,7 +20,13 @@ def batch_hard_triplet_loss(
     eps: float = 1e-12,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (loss, prec) — prec = fraction of anchors with d_an > d_ap,
-    the reference's printed triplet accuracy."""
+    the reference's printed triplet accuracy.
+
+    Rows with label < 0 (per-branch noise in the SSG multi-group scheme —
+    an image may be clustered for the whole body but noise for a part) are
+    masked out: they are neither anchors nor positives/negatives, and the
+    mean runs over anchors that have both a positive and a negative.
+    """
     x = embeddings.astype(jnp.float32)
     sq = (
         jnp.sum(x * x, 1, keepdims=True)
@@ -35,13 +41,20 @@ def batch_hard_triplet_loss(
     )
     d = jnp.sqrt(jnp.maximum(sq, eps))  # clamped sqrt, as the reference
 
-    pos = labels[:, None] == labels[None, :]
-    neg = ~pos
+    valid = labels >= 0
+    pair_valid = valid[:, None] & valid[None, :]
+    pos = (labels[:, None] == labels[None, :]) & pair_valid
+    neg = (labels[:, None] != labels[None, :]) & pair_valid
     big = jnp.float32(1e9)
     d_ap = jnp.max(jnp.where(pos, d, -big), axis=1)
     d_an = jnp.min(jnp.where(neg, d, big), axis=1)
 
-    # MarginRankingLoss(margin) with y=1 on (d_an, d_ap).
-    loss = jnp.mean(jnp.maximum(d_ap - d_an + margin, 0.0))
-    prec = jnp.mean((d_an > d_ap).astype(jnp.float32))
+    not_self = ~jnp.eye(labels.shape[0], dtype=bool)
+    anchor = valid & jnp.any(pos & not_self, axis=1) & jnp.any(neg, axis=1)
+    n_anchor = jnp.maximum(jnp.sum(anchor), 1)
+
+    # MarginRankingLoss(margin) with y=1 on (d_an, d_ap), over live anchors.
+    per = jnp.maximum(d_ap - d_an + margin, 0.0)
+    loss = jnp.sum(jnp.where(anchor, per, 0.0)) / n_anchor
+    prec = jnp.sum(jnp.where(anchor, (d_an > d_ap).astype(jnp.float32), 0.0)) / n_anchor
     return loss, prec

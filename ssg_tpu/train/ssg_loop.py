@@ -50,11 +50,13 @@ class SSGConfig:
     logs_dir: str = "logs"
 
 
-def _dense_remap(labels: np.ndarray) -> np.ndarray:
-    """Remap arbitrary non-negative labels to 0..K-1 (order-preserving)."""
-    uniq = np.unique(labels)
+def _dense_remap_keep_noise(labels: np.ndarray) -> np.ndarray:
+    """Remap non-negative labels to 0..K-1 (order-preserving); -1 stays -1."""
+    uniq = np.unique(labels[labels >= 0])
     lut = {int(v): i for i, v in enumerate(uniq)}
-    return np.asarray([lut[int(v)] for v in labels], dtype=np.int32)
+    return np.asarray(
+        [lut[int(v)] if v >= 0 else -1 for v in labels], dtype=np.int32
+    )
 
 
 def run_ssg(model, variables, tgt, config: SSGConfig | None = None, logger=None,
@@ -129,10 +131,15 @@ def run_ssg(model, variables, tgt, config: SSGConfig | None = None, logger=None,
         cluster_info = list(zip(counts, epss))
         t_cluster = time.time() - t_cluster
 
-        # 3) Join rule: keep images clustered in every group.
-        keep = (labels >= 0).all(axis=0)
+        # 3) Join rule: the whole-body group decides dataset membership and
+        #    drives the P x K sampler; part groups keep their own labels with
+        #    noise as -1, masked inside that branch's triplet loss (an image
+        #    can be clustered for the whole body yet noise for a part —
+        #    SURVEY.md §3.1 [MED]; the all-groups intersection starves
+        #    training whenever one part group clusters sparsely).
+        keep = labels[0] >= 0
         kept_idx = np.flatnonzero(keep)
-        kept_labels = np.stack([_dense_remap(l[keep]) for l in labels])
+        kept_labels = np.stack([_dense_remap_keep_noise(l[keep]) for l in labels])
         if semi:
             # SSG++: extra label row of affiliated true identities (CE term).
             id_labels = affiliate_clusters(labels[0], one_shot)

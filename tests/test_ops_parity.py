@@ -164,3 +164,27 @@ def test_triplet_gradient_flows(rng):
     g = jax.grad(lambda e: batch_hard_triplet_loss(e, labels)[0])(emb)
     assert bool(jnp.isfinite(g).all())
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_triplet_masks_noise_labels(rng):
+    """Rows with label -1 are excluded as anchors and as pos/neg of others;
+    with no noise the loss equals the unmasked value."""
+    from ssg_tpu.ops.triplet import batch_hard_triplet_loss
+
+    x = jnp.asarray(rng.normal(size=(12, 16)).astype(np.float32))
+    y = np.repeat(np.arange(3), 4).astype(np.int32)
+    base_loss, base_prec = batch_hard_triplet_loss(x, jnp.asarray(y), 0.3)
+
+    # Mark one full identity as noise: result must equal the loss computed
+    # on the remaining rows alone.
+    y_noise = y.copy()
+    y_noise[y == 2] = -1
+    masked_loss, _ = batch_hard_triplet_loss(x, jnp.asarray(y_noise), 0.3)
+    sub_loss, _ = batch_hard_triplet_loss(x[:8], jnp.asarray(y[:8]), 0.3)
+    assert float(masked_loss) == pytest.approx(float(sub_loss), rel=1e-5)
+    assert float(masked_loss) != pytest.approx(float(base_loss), rel=1e-3)
+
+    # All-noise labels: zero loss, no NaNs.
+    all_noise, prec = batch_hard_triplet_loss(
+        x, jnp.asarray(np.full(12, -1, np.int32)), 0.3)
+    assert float(all_noise) == 0.0 and np.isfinite(float(prec))
