@@ -177,6 +177,15 @@ def run_ssg(model, variables, tgt, config: SSGConfig | None = None, logger=None,
         sampler = RandomIdentitySampler(
             kept_items, num_instances=cfg.num_instances, seed=cfg.seed + it
         )
+        if len(sampler) < cfg.batch_size:
+            # P x K epochs are num_ids * K long; fewer clusters than P means
+            # zero full batches and silent no-op training. Surface it.
+            print(
+                f"Iteration {it}: only {len(sampler)} P x K samples for "
+                f"batch_size {cfg.batch_size} — lower --batch_size or raise "
+                f"--rho; skipping training"
+            )
+            continue
         sub_pre = Preprocessor(tgt, items=[(fnames[i], 0, 0) for i in kept_idx],
                                batch_size=cfg.batch_size)
 
