@@ -44,7 +44,8 @@ def _forward_eval(apply_fn, variables, images_u8):
     return out["embeddings"]  # (num_parts, B, F) L2-normalized
 
 
-def extract_features(model, variables, preprocessor: Preprocessor, print_freq: int = 50):
+def extract_features(model, variables, preprocessor: Preprocessor, print_freq: int = 50,
+                     mesh=None):
     """Multi-branch feature extraction with one jitted forward per batch.
 
     Rebuild of [reid/evaluators.py] ``extract_features`` + [reid/
@@ -53,12 +54,22 @@ def extract_features(model, variables, preprocessor: Preprocessor, print_freq: i
     CPU tensors; here batches stay uint8 host->device, normalization fuses
     into conv1, and features accumulate on device.
 
+    ``mesh``: optional jax.sharding.Mesh — each batch is sharded over the
+    mesh's data axis and the params replicated (the DataParallel equivalent;
+    batch_size must divide by the mesh size).
+
     Returns (features, pids, cams, fnames): features is a (num_parts, N, F)
     jnp array (stays in HBM), pids/cams are numpy, fnames a list.
     """
+    place = lambda x: jnp.asarray(x)  # noqa: E731
+    if mesh is not None:
+        from ssg_tpu.parallel import replicate, shard_batch
+
+        variables = replicate(mesh, variables)
+        place = lambda x: shard_batch(mesh, jnp.asarray(x))  # noqa: E731
     chunks, pids, cams, masks = [], [], [], []
     for i, (images, p, c, mask) in enumerate(preprocessor):
-        emb = _forward_eval(model.apply, variables, jnp.asarray(images))
+        emb = _forward_eval(model.apply, variables, place(images))
         chunks.append(emb)
         pids.append(p)
         cams.append(c)

@@ -119,3 +119,33 @@ def test_dp_helpers_shard_and_replicate():
     params = replicate(mesh, {"w": np.ones((3, 3), np.float32)})
     assert params["w"].sharding == NamedSharding(mesh, P())
     assert params["w"].is_fully_replicated
+
+
+def test_extract_features_sharded_matches_single():
+    import jax
+    import jax.numpy as jnp
+
+    from ssg_tpu import api
+    from ssg_tpu.data import datasets
+    from ssg_tpu.data.preprocessor import Preprocessor
+    from ssg_tpu.models.resnet import BasicBlock, SSGResNet
+    from ssg_tpu.parallel import make_mesh
+
+    ds = datasets.create("market1501", scale="tiny", seed=9)
+    orig_render = ds.render
+    ds.render = lambda fnames: orig_render(fnames)[:, ::4, ::4, :]
+    model = SSGResNet(stage_sizes=(1, 1), block=BasicBlock, num_features=8,
+                      dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((2, 64, 32, 3)), train=False)
+    items = ds.train[:32]
+
+    f1, p1, c1, n1 = api.extract_features(
+        model, variables, Preprocessor(ds, items=items, batch_size=16))
+    mesh = make_mesh(8)
+    f2, p2, c2, n2 = api.extract_features(
+        model, variables, Preprocessor(ds, items=items, batch_size=16),
+        mesh=mesh)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-5)
+    np.testing.assert_array_equal(p1, p2)
+    assert n1 == n2
