@@ -65,14 +65,28 @@ def main(argv=None):
     )
     if args.resume:
         _, variables = load_model_and_variables(args)
-        # Converted checkpoints may lack classifier heads; re-init those.
+        # Resumed checkpoints may lack classifier heads, or carry heads sized
+        # to the SOURCE identity count (pretraining checkpoints) — keep the
+        # fresh target-sized heads in either case.
         init = model.init(
             jax.random.PRNGKey(args.seed),
             jnp.zeros((2, args.height, args.width, 3), jnp.float32),
             train=False,
         )
+
+        def shapes_match(a, b):
+            la = jax.tree.leaves(a)
+            lb = jax.tree.leaves(b)
+            return len(la) == len(lb) and all(
+                getattr(x, "shape", None) == getattr(y, "shape", None)
+                for x, y in zip(la, lb)
+            )
+
         params = dict(init["params"])
-        params.update({k: v for k, v in variables["params"].items()})
+        params.update({
+            k: v for k, v in variables["params"].items()
+            if k not in init["params"] or shapes_match(init["params"][k], v)
+        })
         variables = {"params": params, "batch_stats": variables["batch_stats"]}
     else:
         variables = model.init(

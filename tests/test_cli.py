@@ -64,3 +64,24 @@ def test_semitraining_cli_end_to_end(tmp_path):
     rc = semitraining.main(_common(tmp_path, ["--ce_weight", "0.5"]))
     assert rc == 0
     assert (tmp_path / "checkpoint").exists()
+
+
+def test_semitraining_resume_mismatched_heads(tmp_path):
+    """SSG++ resuming a SOURCE-pretrained checkpoint: classifier heads sized
+    to the source id count must be dropped for the fresh target heads."""
+    import pretraining
+    import semitraining
+
+    pre_dir = tmp_path / "pre"
+    rc = pretraining.main([
+        "--dataset", "market1501", "--scale", "tiny", "--epochs", "1",
+        "--batch_size", "16", "--num_instances", "2", "--arch", "resnet18",
+        "--num_features", "16", "--height", "64", "--width", "32",
+        "--dtype", "float32", "--logs_dir", str(pre_dir),
+    ])
+    assert rc == 0
+    rc = semitraining.main(_common(tmp_path, [
+        "--ce_weight", "0.5",
+        "--resume", str(pre_dir / "source_checkpoint"),
+    ]))
+    assert rc == 0
