@@ -1,0 +1,49 @@
+"""Streaming sharded rerank+cluster (parallel/streaming.py) vs the
+single-device dense chain — exact label agreement on the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ssg_tpu.api import cluster, re_ranking
+from ssg_tpu.parallel import make_mesh
+from ssg_tpu.parallel.streaming import streaming_cluster
+
+
+def _feats(seed, n, ids, dim=24, spread=0.3):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(ids, dim))
+    x = centers[rng.integers(0, ids, n)] + spread * rng.normal(size=(n, dim))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return jnp.asarray(x, jnp.float32)
+
+
+@pytest.mark.parametrize("n,chunk", [(96, 4), (130, 8), (416, 16)])
+def test_streaming_matches_dense_chain(n, chunk):
+    mesh = make_mesh(8)
+    feats = _feats(3, n, 12)
+    k1, k2, rho, ms = 8, 3, 0.02, 3
+
+    dist = re_ranking(features=feats, k1=k1, k2=k2, lambda_value=0.1)
+    want_labels, want_n, want_eps = cluster(dist, rho=rho, min_samples=ms)
+
+    got_labels, got_n, got_eps = streaming_cluster(
+        feats, mesh, k1=k1, k2=k2, lambda_value=0.1, rho=rho,
+        min_samples=ms, chunk=chunk,
+    )
+    assert int(got_n) == want_n
+    np.testing.assert_array_equal(np.asarray(got_labels), want_labels)
+    assert float(got_eps) == pytest.approx(want_eps, rel=1e-4)
+    assert want_n > 0  # the comparison is non-trivial
+
+
+def test_streaming_tiny_k_clamp():
+    mesh = make_mesh(8)
+    feats = _feats(5, 40, 5)
+    labels, n_clusters, eps = streaming_cluster(
+        feats, mesh, k1=64, k2=10, rho=0.05, min_samples=2, chunk=8
+    )
+    assert labels.shape == (40,)
+    assert int(n_clusters) >= 1
