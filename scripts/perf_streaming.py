@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Streaming rerank+cluster at large N on the real TPU (single chip).
+
+The dense chain needs ~6 fp32 N^2 buffers; the streaming path holds one
+V stripe + bool state, so a single 16 GB chip clusters N it couldn't hold
+densely. Usage: perf_streaming.py [N] [chunk].
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from ssg_tpu.parallel import make_mesh
+from ssg_tpu.parallel.streaming import streaming_cluster
+from ssg_tpu.utils.cache import enable_compilation_cache
+
+
+def main():
+    enable_compilation_cache()
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
+    chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    k = jax.random.PRNGKey(0)
+    ids = max(n // 12, 2)
+    centers = jax.random.normal(jax.random.fold_in(k, 1), (ids, 2048))
+    assign = jax.random.randint(jax.random.fold_in(k, 2), (n,), 0, ids)
+    feats = centers[assign] + 0.3 * jax.random.normal(
+        jax.random.fold_in(k, 3), (n, 2048))
+    feats = (feats / jnp.linalg.norm(feats, axis=1, keepdims=True)).astype(
+        jnp.float32)
+    feats.block_until_ready()
+    print(f"N={n} ids={ids} chunk={chunk}: features staged", flush=True)
+
+    mesh = make_mesh(1)
+    t0 = time.perf_counter()
+    labels, n_clusters, eps = streaming_cluster(
+        feats, mesh, k1=20, k2=6, rho=1.6e-3, min_samples=4, chunk=chunk)
+    jax.block_until_ready(labels)
+    t_first = time.perf_counter() - t0
+    print(f"first call (incl. compile) {t_first:.1f}s: "
+          f"{int(n_clusters)} clusters, eps={float(eps):.4f}", flush=True)
+
+    t0 = time.perf_counter()
+    labels, n_clusters, eps = streaming_cluster(
+        feats, mesh, k1=20, k2=6, rho=1.6e-3, min_samples=4, chunk=chunk)
+    jax.block_until_ready(labels)
+    print(f"steady state {time.perf_counter() - t0:.2f}s "
+          f"({int(n_clusters)} clusters)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
