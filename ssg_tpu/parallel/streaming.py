@@ -327,8 +327,18 @@ def _streaming_impl(f, n, mesh, k1, k2, lambda_value, rho, min_samples,
         )
 
         def propagate(labels):
-            neigh = jnp.where(adj_core, labels[None, :], big)
-            new_local = jnp.minimum(labels[gidx], jnp.min(neigh, axis=1))
+            # Chunked neighbor-min: the masked (r, npad) int32 select would
+            # be the largest transient of the whole pipeline at big N; a
+            # (b, npad) rolling window keeps phase-4 memory at bool scale.
+            def nmin(c, acc):
+                a = jax.lax.dynamic_slice(adj_core, (c * b, 0), (b, npad))
+                m = jnp.min(jnp.where(a, labels[None, :], big), axis=1)
+                return jax.lax.dynamic_update_slice(acc, m, (c * b,))
+
+            neigh_min = jax.lax.fori_loop(
+                0, n_chunks, nmin, jnp.full((r,), big, jnp.int32)
+            )
+            new_local = jnp.minimum(labels[gidx], neigh_min)
             new = jax.lax.all_gather(new_local, "data", tiled=True)
             hop = jnp.where(new < big, new, 0)
             return jnp.where(new < big, jnp.minimum(new, jnp.take(new, hop)), new)
@@ -345,8 +355,15 @@ def _streaming_impl(f, n, mesh, k1, k2, lambda_value, rho, min_samples,
 
         labels, _ = jax.lax.while_loop(cond, body, (labels, start))
 
-        core_neigh_local = jnp.min(
-            jnp.where(adj & core[None, :], labels[None, :], big), axis=1
+        def border_min(c, acc):
+            a = jax.lax.dynamic_slice(adj, (c * b, 0), (b, npad))
+            m = jnp.min(
+                jnp.where(a & core[None, :], labels[None, :], big), axis=1
+            )
+            return jax.lax.dynamic_update_slice(acc, m, (c * b,))
+
+        core_neigh_local = jax.lax.fori_loop(
+            0, n_chunks, border_min, jnp.full((r,), big, jnp.int32)
         )
         core_neigh = jax.lax.all_gather(core_neigh_local, "data", tiled=True)
         raw = jnp.where(core, labels, core_neigh)
