@@ -45,14 +45,19 @@ _SCALES = {
 class DirectoryReID:
     """Open-reid directory layout: images named {pid:08d}_{camid:02d}_*.jpg."""
 
-    def __init__(self, name: str, root: str):
+    def __init__(self, name: str, root: str, split_id: int = 0):
         self.name = name
         self.root = root
         self.images_dir = os.path.join(root, "images")
         splits_path = os.path.join(root, "splits.json")
         if os.path.exists(splits_path):
             with open(splits_path) as f:
-                split = json.load(f)[0]
+                splits = json.load(f)
+            if not 0 <= split_id < len(splits):
+                raise ValueError(
+                    f"split_id {split_id} out of range ({len(splits)} splits)"
+                )
+            split = splits[split_id]
             self.train = [tuple(x) for x in split["train"]]
             self.query = [tuple(x) for x in split["query"]]
             self.gallery = [tuple(x) for x in split["gallery"]]
@@ -87,11 +92,14 @@ def names() -> list[str]:
     return sorted(_BENCHMARKS)
 
 
-def create(name: str, root: str | None = None, scale: str = "small", seed: int = 0, **kw):
+def create(name: str, root: str | None = None, scale: str = "small", seed: int = 0,
+           split_id: int = 0, **kw):
     """Create a dataset. Uses real data at ``root`` when present, else a
-    deterministic synthetic stand-in shaped like the named benchmark."""
+    deterministic synthetic stand-in shaped like the named benchmark.
+    ``split_id`` selects among multiple splits.json entries (open-reid
+    convention, SURVEY.md §2 #11)."""
     if root is not None and os.path.isdir(os.path.join(root, "images")):
-        return DirectoryReID(name, root)
+        return DirectoryReID(name, root, split_id=split_id)
     if name not in _BENCHMARKS:
         raise KeyError(f"Unknown dataset: {name!r}; known: {names()}")
     bench = _BENCHMARKS[name]
