@@ -74,19 +74,9 @@ def main(argv=None):
             train=False,
         )
 
-        def shapes_match(a, b):
-            la = jax.tree.leaves(a)
-            lb = jax.tree.leaves(b)
-            return len(la) == len(lb) and all(
-                getattr(x, "shape", None) == getattr(y, "shape", None)
-                for x, y in zip(la, lb)
-            )
+        from ssg_tpu.utils.serialization import copy_state_dict
 
-        params = dict(init["params"])
-        params.update({
-            k: v for k, v in variables["params"].items()
-            if k not in init["params"] or shapes_match(init["params"][k], v)
-        })
+        params = copy_state_dict(variables["params"], dict(init["params"]))
         variables = {"params": params, "batch_stats": variables["batch_stats"]}
     else:
         variables = model.init(

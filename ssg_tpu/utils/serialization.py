@@ -61,3 +61,33 @@ def load_checkpoint(fpath: str) -> dict:
     if not os.path.isdir(fpath):
         raise FileNotFoundError(fpath)
     return ocp.PyTreeCheckpointer().restore(fpath)
+
+
+def copy_state_dict(src: dict, dst: dict, strip: str = "") -> dict:
+    """Copy matching entries of ``src`` over ``dst`` (reference's
+    ``copy_state_dict``: partial restore that skips missing keys and
+    shape-mismatched heads — e.g. source-sized classifiers when adapting to
+    a target with a different identity count).
+
+    Operates on one level of module keys (flax param dicts); returns a new
+    dict. ``strip`` removes a prefix from source keys first.
+    """
+
+    def shapes_match(a, b):
+        la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+        return len(la) == len(lb) and all(
+            getattr(x, "shape", None) == getattr(y, "shape", None)
+            for x, y in zip(la, lb)
+        )
+
+    out = dict(dst)
+    copied = 0
+    for key, value in src.items():
+        k = key[len(strip):] if strip and key.startswith(strip) else key
+        if k in out and not shapes_match(out[k], value):
+            continue  # e.g. classifier heads sized to another id count
+        out[k] = value
+        copied += 1
+    if copied == 0:
+        raise KeyError("copy_state_dict matched no entries")
+    return out

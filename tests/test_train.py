@@ -129,3 +129,28 @@ def test_train_step_remat_matches(rng):
     b = jax.tree.leaves(outs[1][1])
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+
+def test_copy_state_dict_skips_mismatched_heads():
+    from ssg_tpu.utils import copy_state_dict
+
+    dst = {
+        "backbone": {"w": np.zeros((4, 4), np.float32)},
+        "classifier": {"kernel": np.zeros((4, 10), np.float32)},
+    }
+    src = {
+        "backbone": {"w": np.ones((4, 4), np.float32)},
+        "classifier": {"kernel": np.ones((4, 7), np.float32)},  # other ids
+        "module.extra": np.ones((2,), np.float32),
+    }
+    out = copy_state_dict(src, dst, strip="module.")
+    np.testing.assert_array_equal(out["backbone"]["w"], 1.0)  # copied
+    np.testing.assert_array_equal(out["classifier"]["kernel"],
+                                  dst["classifier"]["kernel"])  # kept
+    assert "extra" in out  # prefix stripped, new key added
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        copy_state_dict({"classifier": {"kernel": np.ones((4, 7))}},
+                        {"classifier": {"kernel": np.zeros((4, 10))}})
