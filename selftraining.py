@@ -59,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="k-reciprocal re-ranking at test time")
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--data_parallel", action="store_true",
+                   help="mesh over all devices: sharded extraction + "
+                        "streaming mesh clustering (multi-chip)")
     return p
 
 
@@ -128,6 +131,7 @@ def main(argv=None):
         lr=args.lr, weight_decay=args.weight_decay, num_parts=args.num_parts,
         height=args.height, width=args.width, print_freq=args.print_freq,
         seed=args.seed, eval_rerank=args.rerank, logs_dir=args.logs_dir,
+        data_parallel=args.data_parallel,
     )
     _, history = run_ssg(model, variables, tgt, cfg, logger=logger,
                          resume_from=args.resume_loop or None)

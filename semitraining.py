@@ -99,6 +99,7 @@ def main(argv=None):
         lr=args.lr, weight_decay=args.weight_decay, num_parts=args.num_parts,
         height=args.height, width=args.width, print_freq=args.print_freq,
         seed=args.seed, eval_rerank=args.rerank, logs_dir=args.logs_dir,
+        data_parallel=args.data_parallel,
     )
     _, history = run_ssg(
         model, variables, tgt, cfg, logger=logger,

@@ -48,6 +48,8 @@ class SSGConfig:
     seed: int = 0
     eval_rerank: bool = False
     logs_dir: str = "logs"
+    data_parallel: bool = False  # mesh over all devices: sharded extract +
+    # streaming per-group clustering (the multi-chip product path)
 
 
 def _dense_remap_keep_noise(labels: np.ndarray) -> np.ndarray:
@@ -112,22 +114,48 @@ def run_ssg(model, variables, tgt, config: SSGConfig | None = None, logger=None,
     history = []
     best_map = -1.0
 
+    mesh = None
+    if cfg.data_parallel:
+        from ssg_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        print(f"data-parallel over {mesh.size} devices")
+
     for it in range(start_iter, cfg.iterations):
         t_iter = time.time()
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 
         # 1) Extract multi-branch features for the unlabeled target train set.
         pre = Preprocessor(tgt, items=tgt.train, batch_size=cfg.batch_size)
-        feats, _, cams, fnames = api.extract_features(model, variables, pre)
+        feats, _, cams, fnames = api.extract_features(model, variables, pre,
+                                                      mesh=mesh)
         n = feats.shape[1]
 
         # 2) Per feature group: k-reciprocal re-rank + auto-eps DBSCAN, all
-        #    on device as ONE fused graph (SURVEY.md §3.1a-c).
+        #    on device (SURVEY.md §3.1a-c) — one fused graph single-device,
+        #    the streaming mesh pipeline under data_parallel.
         t_cluster = time.time()
-        labels, counts, epss = api.cluster_groups(
-            feats, k1=cfg.k1, k2=cfg.k2, lambda_value=cfg.lambda_value,
-            rho=cfg.rho, min_samples=cfg.min_samples,
-        )
+        if mesh is not None:
+            import numpy as _np
+
+            from ssg_tpu.parallel import streaming_cluster
+
+            parts = [
+                streaming_cluster(
+                    feats[g], mesh, k1=cfg.k1, k2=cfg.k2,
+                    lambda_value=cfg.lambda_value, rho=cfg.rho,
+                    min_samples=cfg.min_samples,
+                )
+                for g in range(cfg.num_parts)
+            ]
+            labels = _np.stack([_np.asarray(l) for l, _, _ in parts])
+            counts = [int(c) for _, c, _ in parts]
+            epss = [float(e) for _, _, e in parts]
+        else:
+            labels, counts, epss = api.cluster_groups(
+                feats, k1=cfg.k1, k2=cfg.k2, lambda_value=cfg.lambda_value,
+                rho=cfg.rho, min_samples=cfg.min_samples,
+            )
         cluster_info = list(zip(counts, epss))
         t_cluster = time.time() - t_cluster
 

@@ -85,3 +85,13 @@ def test_semitraining_resume_mismatched_heads(tmp_path):
         "--resume", str(pre_dir / "source_checkpoint"),
     ]))
     assert rc == 0
+
+
+def test_selftraining_cli_data_parallel(tmp_path):
+    """--data_parallel: sharded extraction + streaming mesh clustering
+    (runs on the 8-device CPU mesh in tests)."""
+    import selftraining
+
+    rc = selftraining.main(_common(tmp_path, ["--data_parallel"]))
+    assert rc == 0
+    assert (tmp_path / "checkpoint").exists()
