@@ -19,10 +19,11 @@ from ssg_tpu.utils.cache import enable_compilation_cache
 def main():
     enable_compilation_cache()
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    remat = len(sys.argv) > 2 and sys.argv[2] == "remat"
     model = models.create("resnet50", num_features=0, num_parts=3,
                           dtype=jnp.bfloat16)
     state = create_train_state(model, jax.random.PRNGKey(0))
-    step = make_train_step(model, num_parts=3)
+    step = make_train_step(model, num_parts=3, remat=remat)
 
     k = jax.random.PRNGKey(1)
     images = jax.random.randint(k, (batch, 256, 128, 3), 0, 256, jnp.uint8)
