@@ -40,7 +40,6 @@ def main():
         pass
 
     from ssg_tpu import models
-    from ssg_tpu.api import cluster, extract_features, re_ranking
     from ssg_tpu.data import datasets
     from ssg_tpu.data.synthetic_device import DeviceRenderer
 
