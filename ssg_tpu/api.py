@@ -154,18 +154,42 @@ def cluster_groups(
     )
 
 
-def evaluate_all(distmat, query, gallery, logger=None):
+def evaluate_all(distmat, query, gallery, logger=None,
+                 query_chunk: int | None = None):
     """CMC rank-1/5/10 + mAP with the market1501 protocol (SURVEY.md §3.5).
 
     ``query``/``gallery`` are (fname, pid, camid) triplet lists.
+    ``query_chunk``: process queries in chunks of this size (auto-enabled
+    when the full (Q, G) argsort buffers would approach the device's 2 GiB
+    single-buffer limit — MSMT17-scale galleries).
     """
+    from ssg_tpu.ops.metrics import rank_stats
+
     q_ids = jnp.asarray([p for _, p, _ in query])
     g_ids = jnp.asarray([p for _, p, _ in gallery])
     q_cams = jnp.asarray([c for _, _, c in query])
     g_cams = jnp.asarray([c for _, _, c in gallery])
-    res = evaluate_rank(jnp.asarray(distmat), q_ids, g_ids, q_cams, g_cams)
-    mAP = float(res["mAP"])
-    cmc = np.asarray(res["cmc"])
+    d = jnp.asarray(distmat)
+    nq, ng = d.shape
+    if query_chunk is None:
+        # Keep per-chunk (Qc, G) fp32/int32 buffers under ~1 GiB.
+        query_chunk = nq if nq * ng * 4 <= 2**30 else max(2**30 // (ng * 4), 1)
+    if query_chunk >= nq:
+        res = evaluate_rank(d, q_ids, g_ids, q_cams, g_cams)
+        mAP = float(res["mAP"])
+        cmc = np.asarray(res["cmc"])
+    else:
+        ap_sum, cmc_sum, n_valid = 0.0, 0.0, 0
+        for s in range(0, nq, query_chunk):
+            e = min(s + query_chunk, nq)
+            a, c, v = rank_stats(d[s:e], q_ids[s:e], g_ids,
+                                 q_cams[s:e], g_cams)
+            ap_sum += float(a)
+            cmc_sum = cmc_sum + np.asarray(c)
+            n_valid += int(v)
+        n = max(n_valid, 1)
+        mAP = ap_sum / n
+        cmc = cmc_sum / n
     print(f"Mean AP: {mAP:.1%}")
     print("CMC Scores")
     for k in (1, 5, 10):

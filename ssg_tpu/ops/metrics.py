@@ -17,22 +17,19 @@ import jax.numpy as jnp
 
 
 @jax.jit
-def evaluate_rank(
+def rank_stats(
     distmat: jax.Array,
     query_ids: jax.Array,
     gallery_ids: jax.Array,
     query_cams: jax.Array,
     gallery_cams: jax.Array,
-) -> dict[str, jax.Array]:
-    """Returns {'mAP': scalar, 'cmc': (topk,) curve} — market1501 protocol.
-
-    CMC/AP are computed over each query's *valid* gallery sublist (entries
-    sharing both pid and cam with the query are excluded, open-reid rule);
-    queries with no valid match are dropped from both averages.
-    """
-    q = distmat.shape[0]
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-query-chunk sufficient statistics: (ap_sum, cmc_hit_sum (topk,),
+    n_valid_queries). Chunks over the query axis combine by addition —
+    the basis for evaluating galleries whose full (Q, G) argsort buffers
+    would exceed the device's 2 GiB single-buffer limit (MSMT17 scale)."""
     order = jnp.argsort(distmat, axis=1)  # ascending distance
-    g_ids = gallery_ids[order]  # (Q, G)
+    g_ids = gallery_ids[order]  # (Qc, G)
     g_cams = gallery_cams[order]
 
     matches = g_ids == query_ids[:, None]
@@ -48,8 +45,7 @@ def evaluate_rank(
     num_rel = jnp.sum(rel, axis=1)
     has_match = num_rel > 0
     ap = jnp.sum(prec_at, axis=1) / jnp.maximum(num_rel, 1)
-    n_valid_q = jnp.maximum(jnp.sum(has_match), 1)
-    mean_ap = jnp.sum(jnp.where(has_match, ap, 0.0)) / n_valid_q
+    ap_sum = jnp.sum(jnp.where(has_match, ap, 0.0))
 
     # CMC (first_match_break): rank of the first hit in the valid sublist.
     big = jnp.float32(distmat.shape[1] + 1)
@@ -57,6 +53,26 @@ def evaluate_rank(
     topk = 100
     ks = jnp.arange(1, topk + 1, dtype=jnp.float32)
     hits = (first_hit[:, None] <= ks[None, :]) & has_match[:, None]
-    cmc = jnp.sum(hits.astype(jnp.float32), axis=0) / n_valid_q
+    cmc_sum = jnp.sum(hits.astype(jnp.float32), axis=0)
 
-    return {"mAP": mean_ap, "cmc": cmc}
+    return ap_sum, cmc_sum, jnp.sum(has_match)
+
+
+def evaluate_rank(
+    distmat: jax.Array,
+    query_ids: jax.Array,
+    gallery_ids: jax.Array,
+    query_cams: jax.Array,
+    gallery_cams: jax.Array,
+) -> dict[str, jax.Array]:
+    """Returns {'mAP': scalar, 'cmc': (topk,) curve} — market1501 protocol.
+
+    CMC/AP are computed over each query's *valid* gallery sublist (entries
+    sharing both pid and cam with the query are excluded, open-reid rule);
+    queries with no valid match are dropped from both averages.
+    """
+    ap_sum, cmc_sum, n_valid = rank_stats(
+        distmat, query_ids, gallery_ids, query_cams, gallery_cams
+    )
+    n = jnp.maximum(n_valid, 1)
+    return {"mAP": ap_sum / n, "cmc": cmc_sum / n}

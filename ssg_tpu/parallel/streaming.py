@@ -408,6 +408,14 @@ def streaming_cluster(
     n = features.shape[0]
     f = _pad_rows(features.astype(jnp.float32), p * chunk if n > p * chunk
                   else p)
+    stripe_bytes = (f.shape[0] // p) * f.shape[0] * 4
+    if stripe_bytes > 2**31:
+        raise ValueError(
+            f"V stripe would be {stripe_bytes / 2**30:.1f} GiB per chip — "
+            f"over XLA's 2 GiB buffer limit (measured ceiling N~23k at "
+            f"P=1). Use a mesh with P >= {stripe_bytes * p // 2**31 + 1} "
+            f"devices for N={n}."
+        )
     # Chunk must divide the per-device stripe; shrink for tiny inputs.
     r = f.shape[0] // p
     c = min(chunk, r)

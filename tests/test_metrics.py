@@ -56,3 +56,23 @@ def test_perfect_ranking():
     )
     assert float(res["mAP"]) == pytest.approx(1.0)
     assert float(res["cmc"][0]) == pytest.approx(1.0)
+
+
+def test_evaluate_all_query_chunking_matches(rng):
+    """Chunked evaluation must equal the single-call result exactly."""
+    from ssg_tpu.api import evaluate_all
+
+    q, g, ids, cams = 23, 57, 6, 3
+    qi = rng.integers(0, ids, q)
+    gi = np.concatenate([np.arange(ids), rng.integers(0, ids, g - ids)])
+    qc = rng.integers(0, cams, q)
+    gc = rng.integers(0, cams, g)
+    d = rng.uniform(0.1, 1.0, (q, g))
+    d -= 0.05 * (qi[:, None] == gi[None, :])
+    query = [(f"q{i}", int(p), int(c)) for i, (p, c) in enumerate(zip(qi, qc))]
+    gallery = [(f"g{i}", int(p), int(c)) for i, (p, c) in enumerate(zip(gi, gc))]
+
+    full = evaluate_all(d, query, gallery)
+    chunked = evaluate_all(d, query, gallery, query_chunk=7)
+    assert chunked["mAP"] == pytest.approx(full["mAP"], abs=1e-6)
+    np.testing.assert_allclose(chunked["cmc"], full["cmc"], atol=1e-6)
