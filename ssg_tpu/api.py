@@ -169,21 +169,22 @@ def evaluate_all(distmat, query, gallery, logger=None,
     g_ids = jnp.asarray([p for _, p, _ in gallery])
     q_cams = jnp.asarray([c for _, _, c in query])
     g_cams = jnp.asarray([c for _, _, c in gallery])
-    d = jnp.asarray(distmat)
-    nq, ng = d.shape
+    nq, ng = distmat.shape
     if query_chunk is None:
         # Keep per-chunk (Qc, G) fp32/int32 buffers under ~1 GiB.
         query_chunk = nq if nq * ng * 4 <= 2**30 else max(2**30 // (ng * 4), 1)
     if query_chunk >= nq:
-        res = evaluate_rank(d, q_ids, g_ids, q_cams, g_cams)
+        res = evaluate_rank(jnp.asarray(distmat), q_ids, g_ids, q_cams, g_cams)
         mAP = float(res["mAP"])
         cmc = np.asarray(res["cmc"])
     else:
+        # Chunk slicing happens on the INPUT (host numpy or device array)
+        # so the full matrix is never a single device buffer.
         ap_sum, cmc_sum, n_valid = 0.0, 0.0, 0
         for s in range(0, nq, query_chunk):
             e = min(s + query_chunk, nq)
-            a, c, v = rank_stats(d[s:e], q_ids[s:e], g_ids,
-                                 q_cams[s:e], g_cams)
+            a, c, v = rank_stats(jnp.asarray(distmat[s:e]), q_ids[s:e],
+                                 g_ids, q_cams[s:e], g_cams)
             ap_sum += float(a)
             cmc_sum = cmc_sum + np.asarray(c)
             n_valid += int(v)
@@ -228,11 +229,20 @@ class Evaluator:
         gallery = dataset.gallery if gallery is None else gallery
         qf = self._feats(dataset, query)
         gf = self._feats(dataset, gallery)
+        nq, ng = qf.shape[0], gf.shape[0]
         if rerank:
-            nq = qf.shape[0]
             allf = jnp.concatenate([qf, gf], axis=0)
             full = re_ranking(features=allf)
             distmat = full[:nq, nq:]
+        elif nq * ng * 4 > 2**30:
+            # MSMT17-scale galleries: never materialize the (Q, G) matrix as
+            # one device buffer — distances chunk-by-chunk into host memory,
+            # metrics chunk below (2 GiB single-buffer limit).
+            chunk = max(2**30 // (ng * 4), 1)
+            distmat = np.concatenate(
+                [np.asarray(pairwise_distance(qf[s:s + chunk], gf))
+                 for s in range(0, nq, chunk)], axis=0,
+            )
         else:
             distmat = pairwise_distance(qf, gf)
         return evaluate_all(distmat, query, gallery, logger=logger)
