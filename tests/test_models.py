@@ -126,3 +126,18 @@ def test_flax_torch_roundtrip():
     for path, a in flat_a:
         key = jax.tree_util.keystr(path)
         np.testing.assert_array_equal(a, b_by_path[key], err_msg=key)
+
+
+@pytest.mark.parametrize("arch", ["resnet18", "resnet34", "resnet50",
+                                  "resnet101", "resnet152", "inception"])
+def test_every_factory_arch_forward(arch):
+    """Each registry entry initializes and runs the SSG 3-part contract."""
+    kwargs = dict(num_features=8, num_parts=3, dtype=jnp.float32)
+    if arch == "inception":
+        kwargs.update(depth=2, width=8)
+    model = models.create(arch, **kwargs)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 64, 32, 3)),
+                    jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out["embeddings"].shape == (3, 1, 8)
