@@ -65,16 +65,19 @@ def _recip_chunk(lists_all: jax.Array, row0: jax.Array, b: int, npad: int):
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "k1", "k2", "lambda_value", "rho",
-                     "min_samples", "chunk", "l1_impl"),
+                     "min_samples", "chunk", "l1_impl", "n_vblk"),
 )
 def _streaming_impl(f, n, mesh, k1, k2, lambda_value, rho, min_samples,
-                    chunk, l1_impl):
+                    chunk, l1_impl, n_vblk=1):
     npad = f.shape[0]
     p = mesh.shape["data"]
     r = npad // p
     b = chunk
     half = int(round(k1 / 2.0))
     n_chunks = r // b
+    cb = npad // n_vblk  # V/rh stripes stored as n_vblk column blocks so no
+    # single buffer exceeds ~1 GiB (XLA's 2 GiB limit); every consumer
+    # (L1, overlap, expansion, row sums) decomposes additively over columns.
 
     l1_tile = _l1_pallas if l1_impl == "pallas" or (
         l1_impl == "auto" and on_tpu()) else _l1_xla
@@ -127,23 +130,38 @@ def _streaming_impl(f, n, mesh, k1, k2, lambda_value, rho, min_samples,
         nn1_all = jax.lax.all_gather(nn1, "data", tiled=True)  # (npad, k1+1)
         nnh_all = jax.lax.all_gather(nnh, "data", tiled=True)
 
-        # rh bool stripe (needed as the ring operand of the expansion GEMMs).
+        # rh bool stripe, stored in column blocks (the ring operand of the
+        # expansion GEMMs; its per-block bf16 casts stay under the buffer
+        # limit even at the single-chip ceiling).
+        def blocks(x):
+            return tuple(x[:, i * cb:(i + 1) * cb] for i in range(n_vblk))
+
         def build_rh(c, acc):
             m = _recip_chunk(nnh_all, row0_global + c * b, b, npad)
-            return jax.lax.dynamic_update_slice(acc, m, (c * b, 0))
+            return tuple(
+                jax.lax.dynamic_update_slice(a, mb, (c * b, 0))
+                for a, mb in zip(acc, blocks(m))
+            )
 
-        rh_stripe = jax.lax.fori_loop(
-            0, n_chunks, build_rh, jnp.zeros((r, npad), bool)
+        rh_blks = jax.lax.fori_loop(
+            0, n_chunks, build_rh,
+            tuple(jnp.zeros((r, cb), bool) for _ in range(n_vblk)),
         )
         row_valid = (row0_global + jnp.arange(r, dtype=jnp.int32)) < n
-        rh_stripe = rh_stripe & row_valid[:, None] & col_valid[None, :]
+        rh_blks = tuple(
+            blk & row_valid[:, None] & blocks(col_valid[None, :])[i]
+            for i, blk in enumerate(rh_blks)
+        )
         sz = jax.lax.all_gather(
-            jnp.sum(rh_stripe.astype(jnp.float32), axis=1), "data", tiled=True
+            sum(jnp.sum(blk.astype(jnp.float32), axis=1) for blk in rh_blks),
+            "data", tiled=True,
         )  # |Rh(c)| for all c
 
-        # ---- phase 2: V stripe -----------------------------------------
-        rhf = rh_stripe.astype(jnp.bfloat16)
+        # ---- phase 2: V stripe (column blocks) ---------------------------
         row_scale = jax.lax.dynamic_slice(colmax, (row0_global,), (r,))
+
+        def gemm_t(a, bb):
+            return jnp.dot(a, bb.T, preferred_element_type=jnp.float32)
 
         def build_v(c, v_acc):
             rows0 = c * b
@@ -151,20 +169,34 @@ def _streaming_impl(f, n, mesh, k1, k2, lambda_value, rho, min_samples,
             orig = d / jax.lax.dynamic_slice(row_scale, (rows0,), (b,))[:, None]
             r_chunk = _recip_chunk(nn1_all, row0_global + rows0, b, npad)
             r_chunk = r_chunk & col_valid[None, :]
-            overlap = ring_pairwise(
-                r_chunk.astype(jnp.bfloat16), rhf,
-                lambda a, bb: jnp.dot(a, bb.T, preferred_element_type=jnp.float32),
+            r_chunk_blks = blocks(r_chunk)
+            # overlap[i, c] = sum_k r[i,k] rh[c,k]: additive over col blocks.
+            overlap = sum(
+                ring_pairwise(rb.astype(jnp.bfloat16),
+                              rhb.astype(jnp.bfloat16), gemm_t)
+                for rb, rhb in zip(r_chunk_blks, rh_blks)
             )
-            qualify = r_chunk & (overlap > (2.0 / 3.0) * sz[None, :])
-            expanded = r_chunk | (
-                ring_contract(qualify.astype(jnp.bfloat16), rhf) > 0.0
+            qualify = (r_chunk & (overlap > (2.0 / 3.0) * sz[None, :])).astype(
+                jnp.bfloat16
             )
+            # expansion[:, block] = qualify @ rh[:, block] per column block.
+            expanded_blks = tuple(
+                r_chunk_blks[i] | (
+                    ring_contract(qualify, rhb.astype(jnp.bfloat16)) > 0.0
+                )
+                for i, rhb in enumerate(rh_blks)
+            )
+            expanded = jnp.concatenate(expanded_blks, axis=1)
             w = jnp.where(expanded, jnp.exp(-orig), 0.0)
             v = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-30)
-            return jax.lax.dynamic_update_slice(v_acc, v, (rows0, 0))
+            return tuple(
+                jax.lax.dynamic_update_slice(a, vb, (rows0, 0))
+                for a, vb in zip(v_acc, blocks(v))
+            )
 
-        v_stripe = jax.lax.fori_loop(
-            0, n_chunks, build_v, jnp.zeros((r, npad), jnp.float32)
+        v_blks = jax.lax.fori_loop(
+            0, n_chunks, build_v,
+            tuple(jnp.zeros((r, cb), jnp.float32) for _ in range(n_vblk)),
         )
 
         # Query expansion: one ring pass per chunk against the V stripes.
@@ -173,15 +205,20 @@ def _streaming_impl(f, n, mesh, k1, k2, lambda_value, rho, min_samples,
             rows0 = c * b
             i2 = jax.lax.dynamic_slice(nn2, (rows0, 0), (b, k2))
             a2 = _member_chunk(i2, npad).astype(jnp.float32)
-            vq = ring_contract(a2, v_stripe) / float(k2)
-            return jax.lax.dynamic_update_slice(acc, vq, (rows0, 0))
+            return tuple(
+                jax.lax.dynamic_update_slice(
+                    a, ring_contract(a2, vb) / float(k2), (rows0, 0)
+                )
+                for a, vb in zip(acc, v_blks)
+            )
 
         if k2 != 1:
-            v_stripe = jax.lax.fori_loop(
-                0, n_chunks, build_vqe, jnp.zeros((r, npad), jnp.float32)
+            v_blks = jax.lax.fori_loop(
+                0, n_chunks, build_vqe,
+                tuple(jnp.zeros((r, cb), jnp.float32) for _ in range(n_vblk)),
             )
         s_all = jax.lax.all_gather(
-            jnp.sum(v_stripe, axis=1), "data", tiled=True
+            sum(jnp.sum(vb, axis=1) for vb in v_blks), "data", tiled=True
         )
 
         def final_chunk(c):
@@ -189,9 +226,15 @@ def _streaming_impl(f, n, mesh, k1, k2, lambda_value, rho, min_samples,
             rows0 = c * b
             d = dist_chunk(c)
             orig = d / jax.lax.dynamic_slice(row_scale, (rows0,), (b,))[:, None]
-            vc = jax.lax.dynamic_slice(v_stripe, (rows0, 0), (b, npad))
-            l1 = ring_pairwise(vc, v_stripe, l1_tile)
-            s_mine = jnp.sum(vc, axis=1)
+            vc_blks = tuple(
+                jax.lax.dynamic_slice(vb, (rows0, 0), (b, cb)) for vb in v_blks
+            )
+            # ||V_i - V_j||_1 is additive over column blocks.
+            l1 = sum(
+                ring_pairwise(vcb, vb, l1_tile)
+                for vcb, vb in zip(vc_blks, v_blks)
+            )
+            s_mine = sum(jnp.sum(vcb, axis=1) for vcb in vc_blks)
             min_sum = 0.5 * (s_mine[:, None] + s_all[None, :] - l1)
             jaccard = 1.0 - min_sum / (2.0 - min_sum)
             return jnp.maximum(
@@ -397,6 +440,7 @@ def streaming_cluster(
     min_samples: int = 4,
     chunk: int = 512,
     l1_impl: str = "auto",
+    col_blocks: int | None = None,
 ):
     """k-reciprocal re-rank + auto-eps DBSCAN without materializing the
     distance matrix: O(N^2/P) bool + ONE fp32 V stripe per chip.
@@ -408,16 +452,25 @@ def streaming_cluster(
     n = features.shape[0]
     f = _pad_rows(features.astype(jnp.float32), p * chunk if n > p * chunk
                   else p)
-    stripe_bytes = (f.shape[0] // p) * f.shape[0] * 4
-    if stripe_bytes > 2**31:
+    npad = f.shape[0]
+    r = npad // p
+    # Column-block V/rh so no single fp32 buffer exceeds ~1 GiB (XLA's hard
+    # limit is 2 GiB per buffer).
+    if col_blocks is not None:
+        if npad % col_blocks:
+            raise ValueError(f"col_blocks {col_blocks} must divide {npad}")
+        n_vblk = col_blocks
+    else:
+        n_vblk = 1
+        while r * (npad // n_vblk) * 4 > 2**30 and npad % (n_vblk * 2) == 0:
+            n_vblk *= 2
+    if r * npad > 2**31:  # the (un-blocked) bool adjacency stripe's limit
         raise ValueError(
-            f"V stripe would be {stripe_bytes / 2**30:.1f} GiB per chip — "
-            f"over XLA's 2 GiB buffer limit (measured ceiling N~23k at "
-            f"P=1). Use a mesh with P >= {stripe_bytes * p // 2**31 + 1} "
-            f"devices for N={n}."
+            f"bool adjacency stripe ({r} x {npad}) exceeds the 2 GiB buffer "
+            f"limit; use a mesh with P >= {npad * npad // 2**31 + 1} devices "
+            f"for N={n}."
         )
     # Chunk must divide the per-device stripe; shrink for tiny inputs.
-    r = f.shape[0] // p
     c = min(chunk, r)
     while r % c:
         c -= 1
@@ -425,7 +478,7 @@ def streaming_cluster(
     k2 = min(int(k2), n - 1)
     labels, n_clusters, eps, final = _streaming_impl(
         f, n, mesh, k1, k2, float(lambda_value), float(rho),
-        int(min_samples), int(c), l1_impl,
+        int(min_samples), int(c), l1_impl, n_vblk=n_vblk,
     )
     import os
 

@@ -39,6 +39,24 @@ def test_streaming_matches_dense_chain(n, chunk):
     assert want_n > 0  # the comparison is non-trivial
 
 
+def test_streaming_column_blocked_v_matches():
+    """col_blocks > 1 (the >1 GiB-stripe storage mode) must be label-exact
+    vs both col_blocks=1 and the dense chain."""
+    mesh = make_mesh(8)
+    feats = _feats(7, 160, 14)
+    kw = dict(k1=8, k2=3, lambda_value=0.1, rho=0.02, min_samples=3, chunk=8)
+
+    dist = re_ranking(features=feats, k1=8, k2=3, lambda_value=0.1)
+    want_labels, want_n, _ = cluster(dist, rho=0.02, min_samples=3)
+
+    for blocks in (2, 4):
+        labels, n_clusters, _ = streaming_cluster(
+            feats, mesh, col_blocks=blocks, **kw)
+        assert int(n_clusters) == want_n
+        np.testing.assert_array_equal(np.asarray(labels), want_labels)
+    assert want_n > 0
+
+
 def test_streaming_tiny_k_clamp():
     mesh = make_mesh(8)
     feats = _feats(5, 40, 5)
