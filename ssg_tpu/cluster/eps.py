@@ -57,6 +57,13 @@ def select_eps(dist: jax.Array, rho: float = 1.6e-3) -> jax.Array:
     entries of ``dist``. Returns a scalar fp32 (traced — usable inside jit).
     """
     n = dist.shape[0]
+    if n * (n - 1) // 2 >= 2**31:
+        # int32 counts silently wrap past this; the streaming path
+        # (parallel/streaming.py) owns larger N with per-shard counts.
+        raise ValueError(
+            f"select_eps int32 count bound exceeded at N={n} (max ~46k); "
+            "use parallel.streaming_cluster for larger N"
+        )
     d = dist.astype(jnp.float32)
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)

@@ -36,23 +36,29 @@ class RandomIdentitySampler:
     def __len__(self) -> int:
         return self.num_samples * self.num_instances
 
-    def epoch_indices(self) -> np.ndarray:
-        """One epoch of indices: identities shuffled, K instances each."""
-        order = self._rng.permutation(self.num_samples)
+    def epoch_indices(self, seed: int | None = None) -> np.ndarray:
+        """One epoch of indices: identities shuffled, K instances each.
+
+        With ``seed`` the epoch is drawn from a fresh generator keyed on it —
+        reproducible independent of sampler history, so a resumed run
+        replays the same epoch order (checkpoint/resume fidelity).
+        """
+        rng = self._rng if seed is None else np.random.default_rng(seed)
+        order = rng.permutation(self.num_samples)
         out = []
         for i in order:
             candidates = self.index_dic[self.pids[i]]
             replace = len(candidates) < self.num_instances
-            picks = self._rng.choice(
+            picks = rng.choice(
                 candidates, size=self.num_instances, replace=replace
             )
             out.extend(int(p) for p in picks)
         return np.asarray(out, dtype=np.int64)
 
-    def batches(self, batch_size: int):
+    def batches(self, batch_size: int, seed: int | None = None):
         """Yield fixed-size index batches (drops the ragged tail so shapes
         stay static for jit)."""
-        idx = self.epoch_indices()
+        idx = self.epoch_indices(seed)
         n_full = len(idx) // batch_size
         for b in range(n_full):
             yield idx[b * batch_size : (b + 1) * batch_size]

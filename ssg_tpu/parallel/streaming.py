@@ -65,10 +65,11 @@ def _recip_chunk(lists_all: jax.Array, row0: jax.Array, b: int, npad: int):
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "k1", "k2", "lambda_value", "rho",
-                     "min_samples", "chunk", "l1_impl", "n_vblk"),
+                     "min_samples", "chunk", "l1_impl", "n_vblk",
+                     "with_final"),
 )
 def _streaming_impl(f, n, mesh, k1, k2, lambda_value, rho, min_samples,
-                    chunk, l1_impl, n_vblk=1):
+                    chunk, l1_impl, n_vblk=1, with_final=False):
     npad = f.shape[0]
     p = mesh.shape["data"]
     r = npad // p
@@ -247,9 +248,7 @@ def _streaming_impl(f, n, mesh, k1, k2, lambda_value, rho, min_samples,
             return (cols[None, :] > rows[:, None]) & (rows[:, None] < n) & \
                 col_valid[None, :]
 
-        import os as _os
-
-        if _os.environ.get("SSG_STREAM_DEBUG_FINAL"):
+        if with_final:
             def dump(c, acc):
                 return jax.lax.dynamic_update_slice(
                     acc, final_chunk(c), (c * b, 0)
@@ -419,12 +418,9 @@ def _streaming_impl(f, n, mesh, k1, k2, lambda_value, rho, min_samples,
         return (out.astype(jnp.int32), jnp.sum(is_root.astype(jnp.int32)),
                 eps, final_stripe)
 
-    import os as _os
-
-    debug_final = bool(_os.environ.get("SSG_STREAM_DEBUG_FINAL"))
     labels, n_clusters, eps, final = jax.shard_map(
         impl, mesh=mesh, in_specs=P("data", None),
-        out_specs=(P(), P(), P(), P("data", None) if debug_final else P()),
+        out_specs=(P(), P(), P(), P("data", None) if with_final else P()),
         check_vma=False,
     )(f)
     return labels, n_clusters, eps, final
@@ -441,12 +437,16 @@ def streaming_cluster(
     chunk: int = 512,
     l1_impl: str = "auto",
     col_blocks: int | None = None,
+    return_final: bool = False,
 ):
     """k-reciprocal re-rank + auto-eps DBSCAN without materializing the
     distance matrix: O(N^2/P) bool + ONE fp32 V stripe per chip.
 
     Returns (labels (N,) int32, n_clusters, eps) — matching
     re_ranking + cluster numerics (eps within fp32-histogram exactness).
+    With ``return_final=True`` (debug/eval only: materializes the dense
+    (N, N) re-ranked matrix!) a fourth element, the final distance matrix,
+    is appended.
     """
     p = mesh.shape["data"]
     n = features.shape[0]
@@ -479,9 +479,8 @@ def streaming_cluster(
     labels, n_clusters, eps, final = _streaming_impl(
         f, n, mesh, k1, k2, float(lambda_value), float(rho),
         int(min_samples), int(c), l1_impl, n_vblk=n_vblk,
+        with_final=return_final,
     )
-    import os
-
-    if os.environ.get("SSG_STREAM_DEBUG_FINAL"):
+    if return_final:
         return labels[:n], n_clusters, eps, final[:n, :n]
     return labels[:n], n_clusters, eps

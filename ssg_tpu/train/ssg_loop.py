@@ -48,8 +48,9 @@ class SSGConfig:
     seed: int = 0
     eval_rerank: bool = False
     logs_dir: str = "logs"
-    data_parallel: bool = False  # mesh over all devices: sharded extract +
-    # streaming per-group clustering (the multi-chip product path)
+    data_parallel: bool = False  # mesh over all devices: sharded extract,
+    # streaming per-group clustering AND data-parallel fine-tuning (batch
+    # split over the data axis, params replicated) — the multi-chip path
 
 
 def _dense_remap_keep_noise(labels: np.ndarray) -> np.ndarray:
@@ -105,21 +106,31 @@ def run_ssg(model, variables, tgt, config: SSGConfig | None = None, logger=None,
             state.opt_state, restored,
         )
         state = state.replace(opt_state=restored)
+    mesh = None
+    if cfg.data_parallel:
+        from ssg_tpu.parallel import make_mesh
+        from ssg_tpu.parallel.dp import replicate
+
+        mesh = make_mesh()
+        if cfg.batch_size % mesh.size:
+            raise ValueError(
+                f"--batch_size {cfg.batch_size} must be divisible by the "
+                f"mesh size {mesh.size} under --data_parallel"
+            )
+        # Params/opt_state replicated once; every train step then runs
+        # SPMD with the batch split over the data axis.
+        state = replicate(mesh, state)
+        print(f"data-parallel over {mesh.size} devices")
+
     step = make_train_step(
         model, margin=cfg.margin, num_parts=cfg.num_parts,
         height=cfg.height, width=cfg.width,
         ce_weight=ce_weight if semi else 0.0,
     )
-    trainer = Trainer(step, print_freq=cfg.print_freq, logger=logger)
+    trainer = Trainer(step, print_freq=cfg.print_freq, logger=logger,
+                      mesh=mesh)
     history = []
     best_map = -1.0
-
-    mesh = None
-    if cfg.data_parallel:
-        from ssg_tpu.parallel import make_mesh
-
-        mesh = make_mesh()
-        print(f"data-parallel over {mesh.size} devices")
 
     for it in range(start_iter, cfg.iterations):
         t_iter = time.time()
@@ -218,13 +229,17 @@ def run_ssg(model, variables, tgt, config: SSGConfig | None = None, logger=None,
                                batch_size=cfg.batch_size)
 
         def batch_iter(epoch_seed):
-            for idx in sampler.batches(cfg.batch_size):
+            # Epoch order keyed on (seed, iteration, epoch): resumed runs
+            # replay identical epochs regardless of sampler history.
+            for idx in sampler.batches(cfg.batch_size, seed=epoch_seed):
                 images, _, _ = sub_pre.gather(idx)
                 yield images, kept_labels[:, idx]
 
         for epoch in range(cfg.epochs):
             rng, k = jax.random.split(rng)
-            state = trainer.train(epoch, state, batch_iter(epoch), k)
+            state = trainer.train(
+                epoch, state, batch_iter(cfg.seed + 1000 * it + epoch), k
+            )
 
         # 5) Evaluate + checkpoint per iteration (SURVEY.md §3.1 tail).
         entry = {"iteration": it, "clusters": cluster_info,

@@ -134,12 +134,29 @@ def make_train_step(
 
 
 class Trainer:
-    """Epoch loop with the reference's meters/printing (SURVEY.md §3.4)."""
+    """Epoch loop with the reference's meters/printing (SURVEY.md §3.4).
 
-    def __init__(self, step_fn: Callable, print_freq: int = 10, logger=None):
+    With ``mesh`` set, each batch is placed sharded over the mesh's data
+    axis before the step — the ``nn.DataParallel`` replacement (SURVEY.md §2
+    parallelism row): params replicated, batch split, XLA inserts the
+    gradient all-reduce. The caller replicates the state (parallel.dp).
+    """
+
+    def __init__(self, step_fn: Callable, print_freq: int = 10, logger=None,
+                 mesh=None):
         self.step_fn = step_fn
         self.print_freq = print_freq
         self.logger = logger
+        self._sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._sharding = NamedSharding(mesh, P("data"))
+
+    def _place(self, images):
+        if self._sharding is None:
+            return jnp.asarray(images)
+        return jax.device_put(images, self._sharding)
 
     def train(self, epoch: int, state: TrainState, batch_iter, rng: jax.Array):
         """``batch_iter`` yields (images_u8, labels (num_parts, B)) host
@@ -150,7 +167,7 @@ class Trainer:
         # step dispatch stays asynchronous (no per-step block_until_ready)
         for i, (images, labels) in enumerate(batch_iter):
             rng, k = jax.random.split(rng)
-            state, metrics = self.step_fn(state, jnp.asarray(images), jnp.asarray(labels), k)
+            state, metrics = self.step_fn(state, self._place(images), jnp.asarray(labels), k)
             pending.append((i, images.shape[0], metrics))
             batch_time.update(time.time() - end)
             end = time.time()

@@ -84,8 +84,12 @@ def copy_state_dict(src: dict, dst: dict, strip: str = "") -> dict:
     copied = 0
     for key, value in src.items():
         k = key[len(strip):] if strip and key.startswith(strip) else key
-        if k in out and not shapes_match(out[k], value):
-            continue  # e.g. classifier heads sized to another id count
+        if k not in out or not shapes_match(out[k], value):
+            # Skip keys the target model doesn't have (e.g. feat_* heads
+            # when num_features=0) and shape-mismatched heads (classifiers
+            # sized to another id count) — injecting them would make
+            # model.apply fail on unexpected params.
+            continue
         out[k] = value
         copied += 1
     if copied == 0:
