@@ -36,6 +36,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--width", type=int, default=128)
     p.add_argument("--lr", type=float, default=6e-5)
+    p.add_argument("--lr_schedule", type=str, default="constant",
+                   choices=["constant", "step"],
+                   help="epoch-indexed lr schedule within each iteration")
+    p.add_argument("--lr_step_size", type=int, default=40,
+                   help="StepLR period in epochs (lr_schedule=step)")
+    p.add_argument("--lr_gamma", type=float, default=0.1)
+    p.add_argument("--warmup_epochs", type=int, default=0,
+                   help="linear lr warmup epochs (0 disables)")
     p.add_argument("--weight_decay", type=float, default=5e-4)
     p.add_argument("--margin", type=float, default=0.3)
     p.add_argument("--epochs", type=int, default=70)
@@ -128,7 +136,10 @@ def main(argv=None):
         batch_size=args.batch_size, num_instances=args.num_instances,
         k1=args.k1, k2=args.k2, lambda_value=args.lambda_value,
         rho=args.rho, min_samples=args.min_samples, margin=args.margin,
-        lr=args.lr, weight_decay=args.weight_decay, num_parts=args.num_parts,
+        lr=args.lr, lr_schedule=args.lr_schedule,
+        lr_step_size=args.lr_step_size, lr_gamma=args.lr_gamma,
+        warmup_epochs=args.warmup_epochs,
+        weight_decay=args.weight_decay, num_parts=args.num_parts,
         height=args.height, width=args.width, print_freq=args.print_freq,
         seed=args.seed, eval_rerank=args.rerank, logs_dir=args.logs_dir,
         data_parallel=args.data_parallel,

@@ -96,7 +96,10 @@ def main(argv=None):
         batch_size=args.batch_size, num_instances=args.num_instances,
         k1=args.k1, k2=args.k2, lambda_value=args.lambda_value,
         rho=args.rho, min_samples=args.min_samples, margin=args.margin,
-        lr=args.lr, weight_decay=args.weight_decay, num_parts=args.num_parts,
+        lr=args.lr, lr_schedule=args.lr_schedule,
+        lr_step_size=args.lr_step_size, lr_gamma=args.lr_gamma,
+        warmup_epochs=args.warmup_epochs,
+        weight_decay=args.weight_decay, num_parts=args.num_parts,
         height=args.height, width=args.width, print_freq=args.print_freq,
         seed=args.seed, eval_rerank=args.rerank, logs_dir=args.logs_dir,
         data_parallel=args.data_parallel,

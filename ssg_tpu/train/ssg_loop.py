@@ -21,6 +21,7 @@ import numpy as np
 from ssg_tpu import api
 from ssg_tpu.data.preprocessor import Preprocessor
 from ssg_tpu.data.sampler import RandomIdentitySampler
+from ssg_tpu.train.schedule import lr_at
 from ssg_tpu.train.trainer import Trainer, create_train_state, make_train_step
 from ssg_tpu.utils.serialization import load_checkpoint, save_checkpoint
 
@@ -40,6 +41,13 @@ class SSGConfig:
     min_samples: int = 4
     margin: float = 0.3
     lr: float = 6e-5
+    # LR schedule (train/schedule.py): constant is the documented
+    # reconstruction default (PARITY.md); 'step' gives the open-reid
+    # family's StepLR, applied within each clustering iteration.
+    lr_schedule: str = "constant"
+    lr_step_size: int = 40
+    lr_gamma: float = 0.1
+    warmup_epochs: int = 0
     weight_decay: float = 5e-4
     num_parts: int = 3
     height: int = 256
@@ -237,8 +245,11 @@ def run_ssg(model, variables, tgt, config: SSGConfig | None = None, logger=None,
 
         for epoch in range(cfg.epochs):
             rng, k = jax.random.split(rng)
+            lr = lr_at(epoch, cfg.lr, cfg.lr_schedule, cfg.lr_step_size,
+                       cfg.lr_gamma, cfg.warmup_epochs)
             state = trainer.train(
-                epoch, state, batch_iter(cfg.seed + 1000 * it + epoch), k
+                epoch, state, batch_iter(cfg.seed + 1000 * it + epoch), k,
+                lr=lr,
             )
 
         # 5) Evaluate + checkpoint per iteration (SURVEY.md §3.1 tail).

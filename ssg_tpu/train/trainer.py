@@ -49,7 +49,12 @@ def create_train_state(
     if variables is None:
         variables = model.init(rng, jnp.zeros(input_shape, jnp.float32), train=False)
     if tx is None:
-        tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+        from ssg_tpu.train.schedule import make_optimizer
+
+        # inject_hyperparams: the lr lives in the optimizer state, so the
+        # SSG loop can apply epoch-indexed schedules (train/schedule.py)
+        # without recompiling the step.
+        tx = make_optimizer(learning_rate, weight_decay=weight_decay)
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],
@@ -158,9 +163,15 @@ class Trainer:
             return jnp.asarray(images)
         return jax.device_put(images, self._sharding)
 
-    def train(self, epoch: int, state: TrainState, batch_iter, rng: jax.Array):
+    def train(self, epoch: int, state: TrainState, batch_iter, rng: jax.Array,
+              lr: float | None = None):
         """``batch_iter`` yields (images_u8, labels (num_parts, B)) host
-        arrays. Returns the updated state."""
+        arrays. Returns the updated state. ``lr`` (optional): set the
+        injected learning rate for this epoch (train/schedule.py)."""
+        if lr is not None:
+            from ssg_tpu.train.schedule import set_learning_rate
+
+            state = set_learning_rate(state, lr)
         losses, precs, batch_time = AverageMeter(), AverageMeter(), AverageMeter()
         end = time.time()
         pending = []  # device-side metrics; synced only at print_freq so
