@@ -16,18 +16,18 @@ import jax
 import jax.numpy as jnp
 
 
-@jax.jit
-def rank_stats(
+def rank_stats_masked(
     distmat: jax.Array,
     query_ids: jax.Array,
     gallery_ids: jax.Array,
     query_cams: jax.Array,
     gallery_cams: jax.Array,
+    row_mask: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Per-query-chunk sufficient statistics: (ap_sum, cmc_hit_sum (topk,),
-    n_valid_queries). Chunks over the query axis combine by addition —
-    the basis for evaluating galleries whose full (Q, G) argsort buffers
-    would exceed the device's 2 GiB single-buffer limit (MSMT17 scale)."""
+    """rank_stats body with an optional per-row validity mask (rows where
+    ``row_mask`` is False contribute nothing) — lets the streaming rerank
+    evaluator feed fixed-size row chunks that mix query and padding rows.
+    Traceable (no jit wrapper): usable inside shard_map."""
     order = jnp.argsort(distmat, axis=1)  # ascending distance
     g_ids = gallery_ids[order]  # (Qc, G)
     g_cams = gallery_cams[order]
@@ -44,6 +44,8 @@ def rank_stats(
     prec_at = jnp.where(rel, cum_rel / jnp.maximum(rank_in_valid, 1.0), 0.0)
     num_rel = jnp.sum(rel, axis=1)
     has_match = num_rel > 0
+    if row_mask is not None:
+        has_match = has_match & row_mask
     ap = jnp.sum(prec_at, axis=1) / jnp.maximum(num_rel, 1)
     ap_sum = jnp.sum(jnp.where(has_match, ap, 0.0))
 
@@ -56,6 +58,23 @@ def rank_stats(
     cmc_sum = jnp.sum(hits.astype(jnp.float32), axis=0)
 
     return ap_sum, cmc_sum, jnp.sum(has_match)
+
+
+@jax.jit
+def rank_stats(
+    distmat: jax.Array,
+    query_ids: jax.Array,
+    gallery_ids: jax.Array,
+    query_cams: jax.Array,
+    gallery_cams: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-query-chunk sufficient statistics: (ap_sum, cmc_hit_sum (topk,),
+    n_valid_queries). Chunks over the query axis combine by addition —
+    the basis for evaluating galleries whose full (Q, G) argsort buffers
+    would exceed the device's 2 GiB single-buffer limit (MSMT17 scale)."""
+    return rank_stats_masked(
+        distmat, query_ids, gallery_ids, query_cams, gallery_cams
+    )
 
 
 def evaluate_rank(

@@ -22,4 +22,4 @@ from ssg_tpu.parallel.sharded import (
     sharded_select_eps,
 )
 from ssg_tpu.parallel.rerank import sharded_re_ranking
-from ssg_tpu.parallel.streaming import streaming_cluster
+from ssg_tpu.parallel.streaming import streaming_cluster, streaming_rerank_eval

@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -62,37 +64,28 @@ def _recip_chunk(lists_all: jax.Array, row0: jax.Array, b: int, npad: int):
     return fwd & bwd
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("mesh", "k1", "k2", "lambda_value", "rho",
-                     "min_samples", "chunk", "l1_impl", "n_vblk",
-                     "with_final"),
-)
-def _streaming_impl(f, n, mesh, k1, k2, lambda_value, rho, min_samples,
-                    chunk, l1_impl, n_vblk=1, with_final=False):
-    npad = f.shape[0]
-    p = mesh.shape["data"]
-    r = npad // p
-    b = chunk
+def _phases12(f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile):
+    """Phases 1-2 (rank lists + V stripe), shared by the clustering and the
+    evaluation pipelines. Runs inside shard_map over axis "data"; returns
+    the ``final_chunk``/``chunk_valid`` closures (re-ranked distance rows of
+    this shard, computed chunk-by-chunk) plus the shard's row geometry."""
+    r = f_local.shape[0]
     half = int(round(k1 / 2.0))
-    n_chunks = r // b
+    me = jax.lax.axis_index("data")
+    row0_global = me * r
+    f_all = jax.lax.all_gather(f_local, "data", tiled=True)  # (npad, D)
+    npad = f_all.shape[0]
     cb = npad // n_vblk  # V/rh stripes stored as n_vblk column blocks so no
     # single buffer exceeds ~1 GiB (XLA's 2 GiB limit); every consumer
     # (L1, overlap, expansion, row sums) decomposes additively over columns.
+    y2 = jnp.sum(f_all * f_all, axis=1)  # (npad,)
+    col_valid = jnp.arange(npad, dtype=jnp.int32) < n
 
-    l1_tile = _l1_pallas if l1_impl == "pallas" or (
-        l1_impl == "auto" and on_tpu()) else _l1_xla
-
-    def impl(f_local):
-        me = jax.lax.axis_index("data")
-        row0_global = me * r
-        f_all = jax.lax.all_gather(f_local, "data", tiled=True)  # (npad, D)
-        y2 = jnp.sum(f_all * f_all, axis=1)  # (npad,)
-        col_valid = jnp.arange(npad, dtype=jnp.int32) < n
-
+    if True:  # preserved indentation block (phases 1-2 body)
         def dist_chunk(c):
             """Squared-Euclidean distances of my chunk c rows vs all."""
-            fc = jax.lax.dynamic_slice(f_local, (c * b, 0), (b, f.shape[1]))
+            fc = jax.lax.dynamic_slice(f_local, (c * b, 0),
+                                       (b, f_local.shape[1]))
             x2 = jnp.sum(fc * fc, axis=1, keepdims=True)
             d = x2 + y2[None, :] - 2.0 * jnp.dot(
                 fc, f_all.T, preferred_element_type=jnp.float32,
@@ -247,6 +240,31 @@ def _streaming_impl(f, n, mesh, k1, k2, lambda_value, rho, min_samples,
             cols = jnp.arange(npad, dtype=jnp.int32)
             return (cols[None, :] > rows[:, None]) & (rows[:, None] < n) & \
                 col_valid[None, :]
+
+    return final_chunk, chunk_valid, row0_global, col_valid, npad, r
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "k1", "k2", "lambda_value", "rho",
+                     "min_samples", "chunk", "l1_impl", "n_vblk",
+                     "with_final"),
+)
+def _streaming_impl(f, n, mesh, k1, k2, lambda_value, rho, min_samples,
+                    chunk, l1_impl, n_vblk=1, with_final=False):
+    npad = f.shape[0]
+    p = mesh.shape["data"]
+    r = npad // p
+    b = chunk
+    n_chunks = r // b
+
+    l1_tile = _l1_pallas if l1_impl == "pallas" or (
+        l1_impl == "auto" and on_tpu()) else _l1_xla
+
+    def impl(f_local):
+        final_chunk, chunk_valid, row0_global, col_valid, _, _ = _phases12(
+            f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile
+        )
 
         if with_final:
             def dump(c, acc):
@@ -426,28 +444,9 @@ def _streaming_impl(f, n, mesh, k1, k2, lambda_value, rho, min_samples,
     return labels, n_clusters, eps, final
 
 
-def streaming_cluster(
-    features: jax.Array,
-    mesh: Mesh,
-    k1: int = 20,
-    k2: int = 6,
-    lambda_value: float = 0.1,
-    rho: float = 1.6e-3,
-    min_samples: int = 4,
-    chunk: int = 512,
-    l1_impl: str = "auto",
-    col_blocks: int | None = None,
-    return_final: bool = False,
-):
-    """k-reciprocal re-rank + auto-eps DBSCAN without materializing the
-    distance matrix: O(N^2/P) bool + ONE fp32 V stripe per chip.
-
-    Returns (labels (N,) int32, n_clusters, eps) — matching
-    re_ranking + cluster numerics (eps within fp32-histogram exactness).
-    With ``return_final=True`` (debug/eval only: materializes the dense
-    (N, N) re-ranked matrix!) a fourth element, the final distance matrix,
-    is appended.
-    """
+def _stripe_config(features, mesh, chunk, col_blocks):
+    """Shared stripe geometry: row padding, column blocking under the 2 GiB
+    buffer limit, chunk divisor fitting. Returns (f, n, npad, r, n_vblk, c)."""
     p = mesh.shape["data"]
     n = features.shape[0]
     f = _pad_rows(features.astype(jnp.float32), p * chunk if n > p * chunk
@@ -474,6 +473,33 @@ def streaming_cluster(
     c = min(chunk, r)
     while r % c:
         c -= 1
+    return f, n, npad, r, n_vblk, c
+
+
+def streaming_cluster(
+    features: jax.Array,
+    mesh: Mesh,
+    k1: int = 20,
+    k2: int = 6,
+    lambda_value: float = 0.1,
+    rho: float = 1.6e-3,
+    min_samples: int = 4,
+    chunk: int = 512,
+    l1_impl: str = "auto",
+    col_blocks: int | None = None,
+    return_final: bool = False,
+):
+    """k-reciprocal re-rank + auto-eps DBSCAN without materializing the
+    distance matrix: O(N^2/P) bool + ONE fp32 V stripe per chip.
+
+    Returns (labels (N,) int32, n_clusters, eps) — matching
+    re_ranking + cluster numerics (eps within fp32-histogram exactness).
+    With ``return_final=True`` (debug/eval only: materializes the dense
+    (N, N) re-ranked matrix!) a fourth element, the final distance matrix,
+    is appended.
+    """
+    f, n, npad, r, n_vblk, c = _stripe_config(features, mesh, chunk,
+                                              col_blocks)
     k1 = min(int(k1), n - 1)
     k2 = min(int(k2), n - 1)
     labels, n_clusters, eps, final = _streaming_impl(
@@ -484,3 +510,106 @@ def streaming_cluster(
     if return_final:
         return labels[:n], n_clusters, eps, final[:n, :n]
     return labels[:n], n_clusters, eps
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nq", "mesh", "k1", "k2", "lambda_value", "chunk",
+                     "l1_impl", "n_vblk"),
+)
+def _rerank_eval_impl(f, n, qids_pad, qcams_pad, g_ids, g_cams, nq, mesh,
+                      k1, k2, lambda_value, chunk, l1_impl, n_vblk):
+    from ssg_tpu.ops.metrics import rank_stats_masked
+
+    p = mesh.shape["data"]
+    npad = f.shape[0]
+    r = npad // p
+    b = chunk
+    n_chunks = r // b
+    ng = g_ids.shape[0]
+
+    l1_tile = _l1_pallas if l1_impl == "pallas" or (
+        l1_impl == "auto" and on_tpu()) else _l1_xla
+
+    def impl(f_local, qids_pad, qcams_pad, g_ids, g_cams):
+        final_chunk, _, row0_global, _, _, _ = _phases12(
+            f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile
+        )
+
+        def sweep(c, carry):
+            ap_sum, cmc_sum, n_valid = carry
+            fd = final_chunk(c)  # (b, npad) re-ranked distances
+            block = jax.lax.dynamic_slice(fd, (0, nq), (b, ng))
+            rows = row0_global + c * b + jnp.arange(b, dtype=jnp.int32)
+            mask = rows < nq  # only query rows contribute stats
+            safe = jnp.minimum(rows, npad - 1)
+            a, cm, v = rank_stats_masked(
+                block, jnp.take(qids_pad, safe), g_ids,
+                jnp.take(qcams_pad, safe), g_cams, mask,
+            )
+            return ap_sum + a, cmc_sum + cm, n_valid + v
+
+        ap, cmc, nv = jax.lax.fori_loop(
+            0, n_chunks, sweep,
+            (jnp.float32(0.0), jnp.zeros((100,), jnp.float32), jnp.int32(0)),
+        )
+        return (jax.lax.psum(ap, "data"), jax.lax.psum(cmc, "data"),
+                jax.lax.psum(nv, "data"))
+
+    return jax.shard_map(
+        impl, mesh=mesh,
+        in_specs=(P("data", None), P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )(f, qids_pad, qcams_pad, g_ids, g_cams)
+
+
+def streaming_rerank_eval(
+    query_features: jax.Array,
+    gallery_features: jax.Array,
+    mesh: Mesh,
+    q_ids,
+    g_ids,
+    q_cams,
+    g_cams,
+    k1: int = 20,
+    k2: int = 6,
+    lambda_value: float = 0.1,
+    chunk: int = 512,
+    l1_impl: str = "auto",
+    col_blocks: int | None = None,
+):
+    """Test-time k-reciprocal re-ranked evaluation at streaming scale
+    (SURVEY.md §3.5 "optionally with re-ranking"; VERDICT r1 missing #3).
+
+    Neither the (N, N) re-ranked matrix nor the (Q, G) block is ever
+    materialized: phases 1-2 build the V stripes exactly as
+    ``streaming_cluster``, then one sweep reduces each chunk of re-ranked
+    query rows directly into additive CMC/mAP statistics on device
+    (ops/metrics.rank_stats_masked) — the market1501 protocol of
+    ``api.evaluate_all``, numerically equal to evaluating the dense
+    ``re_ranking(concat(qf, gf))[:nq, nq:]`` matrix.
+
+    Returns (mAP, cmc (100,), n_valid_queries).
+    """
+    features = jnp.concatenate(
+        [jnp.asarray(query_features, jnp.float32),
+         jnp.asarray(gallery_features, jnp.float32)], axis=0
+    )
+    nq = int(query_features.shape[0])
+    f, n, npad, r, n_vblk, c = _stripe_config(features, mesh, chunk,
+                                              col_blocks)
+    k1 = min(int(k1), n - 1)
+    k2 = min(int(k2), n - 1)
+    qids_pad = np.zeros((npad,), np.int32)
+    qcams_pad = np.zeros((npad,), np.int32)
+    qids_pad[:nq] = np.asarray(q_ids, np.int32)
+    qcams_pad[:nq] = np.asarray(q_cams, np.int32)
+    ap, cmc, nv = _rerank_eval_impl(
+        f, n, jnp.asarray(qids_pad), jnp.asarray(qcams_pad),
+        jnp.asarray(np.asarray(g_ids, np.int32)),
+        jnp.asarray(np.asarray(g_cams, np.int32)),
+        nq, mesh, k1, k2, float(lambda_value), int(c), l1_impl, n_vblk,
+    )
+    denom = max(int(nv), 1)
+    return float(ap) / denom, np.asarray(cmc) / denom, int(nv)

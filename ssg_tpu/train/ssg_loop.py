@@ -259,7 +259,7 @@ def run_ssg(model, variables, tgt, config: SSGConfig | None = None, logger=None,
             ev = api.Evaluator(
                 model,
                 {"params": state.params, "batch_stats": state.batch_stats},
-                batch_size=cfg.batch_size,
+                batch_size=cfg.batch_size, mesh=mesh,
             )
             res = ev.evaluate(tgt, rerank=cfg.eval_rerank, logger=logger)
             entry["mAP"] = res["mAP"]
