@@ -70,7 +70,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_parallel", action="store_true",
                    help="mesh over all devices: sharded extraction + "
                         "streaming mesh clustering (multi-chip)")
+    p.add_argument("--multihost", action="store_true",
+                   help="join the multi-process runtime before touching "
+                        "devices (jax.distributed; Cloud TPU pods "
+                        "auto-discover). Combine with --data_parallel for "
+                        "the DCN x ICI global mesh (BASELINE config 5)")
+    p.add_argument("--dist_coordinator", type=str, default=None,
+                   help="host:port for explicit clusters (else auto)")
+    p.add_argument("--dist_num_processes", type=int, default=None)
+    p.add_argument("--dist_process_id", type=int, default=None)
     return p
+
+
+def maybe_init_multihost(args) -> None:
+    if getattr(args, "multihost", False):
+        from ssg_tpu.parallel import initialize_multihost
+
+        initialize_multihost(coordinator=args.dist_coordinator,
+                             num_processes=args.dist_num_processes,
+                             process_id=args.dist_process_id)
 
 
 def load_model_and_variables(args):
@@ -103,6 +121,7 @@ def load_model_and_variables(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    maybe_init_multihost(args)
     from ssg_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()

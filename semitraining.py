@@ -25,6 +25,9 @@ def main(argv=None):
                         help="weight of the one-shot supervised CE term")
     parser.add_argument("--one_shot_seed", type=int, default=0)
     args = parser.parse_args(argv)
+    from selftraining import maybe_init_multihost
+
+    maybe_init_multihost(args)
 
     from ssg_tpu.utils.cache import enable_compilation_cache
 

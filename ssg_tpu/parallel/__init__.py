@@ -16,6 +16,7 @@ All paths are testable on the virtual 8-device CPU mesh
 
 from ssg_tpu.parallel.dp import replicate, shard_batch
 from ssg_tpu.parallel.mesh import make_mesh
+from ssg_tpu.parallel.multihost import global_put, initialize as initialize_multihost
 from ssg_tpu.parallel.sharded import (
     sharded_dbscan,
     sharded_pairwise_distance,

@@ -498,12 +498,16 @@ def streaming_cluster(
     (N, N) re-ranked matrix!) a fourth element, the final distance matrix,
     is appended.
     """
+    from ssg_tpu.parallel.multihost import global_put
+
     f, n, npad, r, n_vblk, c = _stripe_config(features, mesh, chunk,
                                               col_blocks)
     k1 = min(int(k1), n - 1)
     k2 = min(int(k2), n - 1)
     labels, n_clusters, eps, final = _streaming_impl(
-        f, n, mesh, k1, k2, float(lambda_value), float(rho),
+        global_put(mesh, f, P("data", None)),
+        global_put(mesh, np.int32(n), P()),
+        mesh, k1, k2, float(lambda_value), float(rho),
         int(min_samples), int(c), l1_impl, n_vblk=n_vblk,
         with_final=return_final,
     )
@@ -592,6 +596,8 @@ def streaming_rerank_eval(
 
     Returns (mAP, cmc (100,), n_valid_queries).
     """
+    from ssg_tpu.parallel.multihost import global_put
+
     features = jnp.concatenate(
         [jnp.asarray(query_features, jnp.float32),
          jnp.asarray(gallery_features, jnp.float32)], axis=0
@@ -605,10 +611,11 @@ def streaming_rerank_eval(
     qcams_pad = np.zeros((npad,), np.int32)
     qids_pad[:nq] = np.asarray(q_ids, np.int32)
     qcams_pad[:nq] = np.asarray(q_cams, np.int32)
+    rep = lambda x: global_put(mesh, x, P())  # noqa: E731
     ap, cmc, nv = _rerank_eval_impl(
-        f, n, jnp.asarray(qids_pad), jnp.asarray(qcams_pad),
-        jnp.asarray(np.asarray(g_ids, np.int32)),
-        jnp.asarray(np.asarray(g_cams, np.int32)),
+        global_put(mesh, f, P("data", None)), rep(np.int32(n)),
+        rep(qids_pad), rep(qcams_pad),
+        rep(np.asarray(g_ids, np.int32)), rep(np.asarray(g_cams, np.int32)),
         nq, mesh, k1, k2, float(lambda_value), int(c), l1_impl, n_vblk,
     )
     denom = max(int(nv), 1)
