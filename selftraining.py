@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--k2", type=int, default=6)
     p.add_argument("--lambda_value", type=float, default=0.1)
     p.add_argument("--rho", type=float, default=1.6e-3)
+    p.add_argument("--rho_growth", type=float, default=0.0,
+                   help="per-iteration eps-quantile growth: rho_it = "
+                        "rho*(1+g)^it; grows clusters over iterations "
+                        "(keep-rate lever; 0 = reference fixed rho)")
     p.add_argument("--min_samples", type=int, default=4)
     p.add_argument("--num_parts", type=int, default=3)
     p.add_argument("--print_freq", type=int, default=10)
@@ -154,7 +158,8 @@ def main(argv=None):
         iterations=args.iteration, epochs=args.epochs,
         batch_size=args.batch_size, num_instances=args.num_instances,
         k1=args.k1, k2=args.k2, lambda_value=args.lambda_value,
-        rho=args.rho, min_samples=args.min_samples, margin=args.margin,
+        rho=args.rho, rho_growth=args.rho_growth,
+        min_samples=args.min_samples, margin=args.margin,
         lr=args.lr, lr_schedule=args.lr_schedule,
         lr_step_size=args.lr_step_size, lr_gamma=args.lr_gamma,
         warmup_epochs=args.warmup_epochs,

@@ -98,7 +98,8 @@ def main(argv=None):
         iterations=args.iteration, epochs=args.epochs,
         batch_size=args.batch_size, num_instances=args.num_instances,
         k1=args.k1, k2=args.k2, lambda_value=args.lambda_value,
-        rho=args.rho, min_samples=args.min_samples, margin=args.margin,
+        rho=args.rho, rho_growth=args.rho_growth,
+        min_samples=args.min_samples, margin=args.margin,
         lr=args.lr, lr_schedule=args.lr_schedule,
         lr_step_size=args.lr_step_size, lr_gamma=args.lr_gamma,
         warmup_epochs=args.warmup_epochs,

@@ -105,9 +105,9 @@ def cluster(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k1", "k2", "lambda_value", "rho", "min_samples", "l1_impl"),
+    static_argnames=("k1", "k2", "lambda_value", "min_samples", "l1_impl"),
 )
-def _analytics_impl(feats, k1, k2, lambda_value, rho, min_samples, l1_impl):
+def _analytics_impl(feats, rho, k1, k2, lambda_value, min_samples, l1_impl):
     """Fused per-group analytics: re-rank -> eps -> DBSCAN for every feature
     group in ONE graph (static unroll over the group axis). One dispatch and
     one host sync per SSG iteration instead of ~9 — dispatch/sync round-trips
@@ -144,8 +144,8 @@ def cluster_groups(
     per group, identical to re_ranking + cluster called separately.
     """
     labels, counts, epss = _analytics_impl(
-        jnp.asarray(feats), int(k1), int(k2), float(lambda_value), float(rho),
-        int(min_samples), l1_impl,
+        jnp.asarray(feats), jnp.float32(rho), int(k1), int(k2),
+        float(lambda_value), int(min_samples), l1_impl,
     )
     return (
         np.asarray(labels),

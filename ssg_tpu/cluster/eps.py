@@ -23,7 +23,6 @@ values).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -49,12 +48,13 @@ def _kth_smallest_bits(x_bits: jax.Array, valid: jax.Array, k: jax.Array) -> jax
     return hi
 
 
-@functools.partial(jax.jit, static_argnames=("rho",))
-def select_eps(dist: jax.Array, rho: float = 1.6e-3) -> jax.Array:
+@jax.jit
+def select_eps(dist: jax.Array, rho: jax.Array | float = 1.6e-3) -> jax.Array:
     """Exact on-device equivalent of the oracle's ``select_eps_np``.
 
     Mean of the smallest ``round(rho * M)`` of the M nonzero upper-triangle
     entries of ``dist``. Returns a scalar fp32 (traced — usable inside jit).
+    ``rho`` is traced (per-iteration rho scheduling must not recompile).
     """
     n = dist.shape[0]
     if n * (n - 1) // 2 >= 2**31:

@@ -246,12 +246,14 @@ def _phases12(f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "k1", "k2", "lambda_value", "rho",
+    static_argnames=("mesh", "k1", "k2", "lambda_value",
                      "min_samples", "chunk", "l1_impl", "n_vblk",
                      "with_final"),
 )
-def _streaming_impl(f, n, mesh, k1, k2, lambda_value, rho, min_samples,
+def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
                     chunk, l1_impl, n_vblk=1, with_final=False):
+    # rho is traced (like n): per-iteration rho scheduling reuses the
+    # compiled graph.
     npad = f.shape[0]
     p = mesh.shape["data"]
     r = npad // p
@@ -507,7 +509,8 @@ def streaming_cluster(
     labels, n_clusters, eps, final = _streaming_impl(
         global_put(mesh, f, P("data", None)),
         global_put(mesh, np.int32(n), P()),
-        mesh, k1, k2, float(lambda_value), float(rho),
+        global_put(mesh, np.float32(rho), P()),
+        mesh, k1, k2, float(lambda_value),
         int(min_samples), int(c), l1_impl, n_vblk=n_vblk,
         with_final=return_final,
     )

@@ -38,6 +38,11 @@ class SSGConfig:
     k2: int = 6
     lambda_value: float = 0.1
     rho: float = 1.6e-3
+    # Per-iteration eps-quantile growth: rho_it = rho * (1+rho_growth)^it.
+    # 0 = the reference's fixed rho. Small positive values grow clusters
+    # over iterations — the keep-rate lever when the whole-body join rule
+    # starves fine-tuning at small target scales (ROADMAP "keep-rate").
+    rho_growth: float = 0.0
     min_samples: int = 4
     margin: float = 0.3
     lr: float = 6e-5
@@ -68,6 +73,22 @@ def _dense_remap_keep_noise(labels: np.ndarray) -> np.ndarray:
     return np.asarray(
         [lut[int(v)] if v >= 0 else -1 for v in labels], dtype=np.int32
     )
+
+
+def join_rule(labels: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """SSG pseudo-label join: the whole-body group (row 0) decides dataset
+    membership; part groups keep their own labels with noise as -1, masked
+    inside that branch's triplet loss (SURVEY.md §3.1 [MED]; the all-groups
+    intersection starves training whenever one part clusters sparsely).
+
+    Args:   labels (num_groups, N) int32, -1 = DBSCAN noise.
+    Returns (keep mask (N,), kept_idx, kept_labels (num_groups, K) densely
+    remapped per group with noise preserved).
+    """
+    keep = labels[0] >= 0
+    kept_idx = np.flatnonzero(keep)
+    kept_labels = np.stack([_dense_remap_keep_noise(l[keep]) for l in labels])
+    return keep, kept_idx, kept_labels
 
 
 def run_ssg(model, variables, tgt, config: SSGConfig | None = None, logger=None,
@@ -154,6 +175,7 @@ def run_ssg(model, variables, tgt, config: SSGConfig | None = None, logger=None,
         #    on device (SURVEY.md §3.1a-c) — one fused graph single-device,
         #    the streaming mesh pipeline under data_parallel.
         t_cluster = time.time()
+        rho_it = cfg.rho * (1.0 + cfg.rho_growth) ** it
         if mesh is not None:
             import numpy as _np
 
@@ -162,7 +184,7 @@ def run_ssg(model, variables, tgt, config: SSGConfig | None = None, logger=None,
             parts = [
                 streaming_cluster(
                     feats[g], mesh, k1=cfg.k1, k2=cfg.k2,
-                    lambda_value=cfg.lambda_value, rho=cfg.rho,
+                    lambda_value=cfg.lambda_value, rho=rho_it,
                     min_samples=cfg.min_samples,
                 )
                 for g in range(cfg.num_parts)
@@ -173,20 +195,14 @@ def run_ssg(model, variables, tgt, config: SSGConfig | None = None, logger=None,
         else:
             labels, counts, epss = api.cluster_groups(
                 feats, k1=cfg.k1, k2=cfg.k2, lambda_value=cfg.lambda_value,
-                rho=cfg.rho, min_samples=cfg.min_samples,
+                rho=rho_it, min_samples=cfg.min_samples,
             )
         cluster_info = list(zip(counts, epss))
         t_cluster = time.time() - t_cluster
 
-        # 3) Join rule: the whole-body group decides dataset membership and
-        #    drives the P x K sampler; part groups keep their own labels with
-        #    noise as -1, masked inside that branch's triplet loss (an image
-        #    can be clustered for the whole body yet noise for a part —
-        #    SURVEY.md §3.1 [MED]; the all-groups intersection starves
-        #    training whenever one part group clusters sparsely).
-        keep = labels[0] >= 0
-        kept_idx = np.flatnonzero(keep)
-        kept_labels = np.stack([_dense_remap_keep_noise(l[keep]) for l in labels])
+        # 3) Join rule (see join_rule): whole-body group decides membership,
+        #    part groups keep their own labels with noise masked per branch.
+        keep, kept_idx, kept_labels = join_rule(labels)
         if semi:
             # SSG++: extra label row of affiliated true identities (CE term).
             id_labels = affiliate_clusters(labels[0], one_shot)
@@ -198,10 +214,12 @@ def run_ssg(model, variables, tgt, config: SSGConfig | None = None, logger=None,
                     kind="affiliation", iteration=it,
                     supervised=int((id_labels[kept_idx] >= 0).sum()),
                 )
+        keep_rate = float(keep.sum()) / max(n, 1)
         for g, (nc, eps) in enumerate(cluster_info):
             print(
                 f"Iteration {it} group {g}: {nc} clusters, eps={eps:.4f}, "
-                f"kept {keep.sum()}/{n} images ({t_cluster:.1f}s on device)"
+                f"kept {keep.sum()}/{n} images ({keep_rate:.0%}, "
+                f"{t_cluster:.1f}s on device)"
             )
         if logger is not None:
             logger.metric(
@@ -209,6 +227,7 @@ def run_ssg(model, variables, tgt, config: SSGConfig | None = None, logger=None,
                 clusters=[int(c) for c, _ in cluster_info],
                 eps=[float(e) for _, e in cluster_info],
                 kept=int(keep.sum()), total=int(n),
+                keep_rate=keep_rate, rho=rho_it,
                 cluster_seconds=t_cluster,
             )
         if keep.sum() < cfg.num_instances * 2:

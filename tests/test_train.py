@@ -156,3 +156,38 @@ def test_copy_state_dict_skips_mismatched_heads():
     with _pytest.raises(KeyError):
         copy_state_dict({"classifier": {"kernel": np.ones((4, 7))}},
                         {"classifier": {"kernel": np.zeros((4, 10))}})
+
+
+def test_join_rule_semantics():
+    """Whole-body row decides membership; each group densely remapped with
+    part noise preserved (the [MED] join rule, factored for testability)."""
+    from ssg_tpu.train.ssg_loop import join_rule
+
+    labels = np.array([
+        [0, -1, 2, 2, 5],
+        [1, 1, -1, 0, 0],
+        [-1, 0, 0, 0, 1],
+    ], dtype=np.int32)
+    keep, kept_idx, kept = join_rule(labels)
+    np.testing.assert_array_equal(keep, [True, False, True, True, True])
+    np.testing.assert_array_equal(kept_idx, [0, 2, 3, 4])
+    np.testing.assert_array_equal(kept[0], [0, 1, 1, 2])   # dense remap
+    np.testing.assert_array_equal(kept[1], [1, -1, 0, 0])  # part noise kept
+    np.testing.assert_array_equal(kept[2], [-1, 0, 0, 1])
+
+
+def test_rho_is_traced_no_recompile(rng):
+    """rho scheduling must reuse the compiled analytics graph — a new rho
+    value per iteration would otherwise recompile (minutes on remote TPU)."""
+    from ssg_tpu import api
+
+    feats = jnp.asarray(rng.normal(size=(3, 64, 16)).astype(np.float32))
+    api.cluster_groups(feats, k1=6, k2=2, rho=0.02, min_samples=2)
+    n_compiled = api._analytics_impl._cache_size()
+    labels_lo, _, _ = api.cluster_groups(feats, k1=6, k2=2, rho=0.005,
+                                         min_samples=2)
+    labels_hi, _, _ = api.cluster_groups(feats, k1=6, k2=2, rho=0.08,
+                                         min_samples=2)
+    assert api._analytics_impl._cache_size() == n_compiled
+    # Larger rho -> larger eps -> at least as many non-noise points.
+    assert (labels_hi[0] >= 0).sum() >= (labels_lo[0] >= 0).sum()
