@@ -164,14 +164,21 @@ class Trainer:
         return jax.device_put(images, self._sharding)
 
     def train(self, epoch: int, state: TrainState, batch_iter, rng: jax.Array,
-              lr: float | None = None):
+              lr: float | None = None, prefetch_depth: int = 2):
         """``batch_iter`` yields (images_u8, labels (num_parts, B)) host
         arrays. Returns the updated state. ``lr`` (optional): set the
-        injected learning rate for this epoch (train/schedule.py)."""
+        injected learning rate for this epoch (train/schedule.py).
+        ``prefetch_depth``: batches rendered ahead on a producer thread
+        (decode releases the GIL, overlapping with step dispatch); 0
+        disables."""
         if lr is not None:
             from ssg_tpu.train.schedule import set_learning_rate
 
             state = set_learning_rate(state, lr)
+        if prefetch_depth > 0:
+            from ssg_tpu.data.prefetch import prefetch
+
+            batch_iter = prefetch(batch_iter, depth=prefetch_depth)
         losses, precs, batch_time = AverageMeter(), AverageMeter(), AverageMeter()
         end = time.time()
         pending = []  # device-side metrics; synced only at print_freq so

@@ -51,3 +51,41 @@ def test_fallback_when_native_disabled(disk_dataset, monkeypatch):
     assert pre._native_stream() is None
     batches = list(pre)
     assert len(batches) == 2 and batches[0][0].shape == (4, 256, 128, 3)
+
+
+def test_prefetch_preserves_order_and_propagates_errors():
+    from ssg_tpu.data.prefetch import prefetch
+
+    assert list(prefetch(iter(range(100)), depth=3)) == list(range(100))
+
+    def boom():
+        yield 1
+        yield 2
+        raise RuntimeError("decode failed")
+
+    it = prefetch(boom(), depth=2)
+    assert next(it) == 1 and next(it) == 2
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="decode failed"):
+        next(it)
+
+
+def test_prefetch_overlaps_producer_with_consumer():
+    """With depth=2, the producer renders ahead: total wall-clock is close
+    to max(produce, consume) per item, not the sum."""
+    import time
+
+    from ssg_tpu.data.prefetch import prefetch
+
+    def slow_producer():
+        for i in range(6):
+            time.sleep(0.05)
+            yield i
+
+    t0 = time.time()
+    for _ in prefetch(slow_producer(), depth=2):
+        time.sleep(0.05)  # consumer work
+    overlapped = time.time() - t0
+    # Serial would be ~0.6s; overlapped ~0.35s. Generous bound for CI noise.
+    assert overlapped < 0.5, overlapped
