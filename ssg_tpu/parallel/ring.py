@@ -41,6 +41,33 @@ def stripe_transpose(x_local: jax.Array, axis: str = "data") -> jax.Array:
     return full_cols.T
 
 
+def stripe_transpose_packed(x_local: jax.Array, axis: str = "data") -> jax.Array:
+    """Bit-packed row stripe (r, N//8) of boolean A -> packed stripe of A^T.
+
+    all_to_all cannot exchange at bit granularity, so the transpose walks
+    the ring: each step unpacks only the (r, r) block destined for this
+    device, transposes it, and repacks — peak bool transient is one r x r
+    block, never the full stripe. Requires r % 8 == 0.
+    """
+    from ssg_tpu.ops.bits import pack_bits, unpack_bits
+
+    p = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    r = x_local.shape[0]
+    rb = r // 8
+    acc = jnp.zeros((r, p * rb), jnp.uint8)
+    block = x_local
+    for s in range(p):
+        owner = (me - s) % p
+        # Owner's rows x my columns, as packed bytes.
+        sub = jax.lax.dynamic_slice(block, (0, me * rb), (r, rb))
+        t = pack_bits(unpack_bits(sub, r).T)  # (r_mine, r_owner//8)
+        acc = jax.lax.dynamic_update_slice(acc, t, (0, owner * rb))
+        if s + 1 < p:
+            block = jax.lax.ppermute(block, axis, _shift_perm(p))
+    return acc
+
+
 def ring_pairwise(
     a_local: jax.Array,
     b_local: jax.Array,

@@ -363,27 +363,45 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
         eps = (below_sum + (k - below_cnt).astype(jnp.float32) * kth) / \
             k.astype(jnp.float32)
 
-        # ---- phase 4: adjacency stripe + distributed DBSCAN -------------
+        # ---- phase 4: bit-packed adjacency stripe + distributed DBSCAN --
+        # The adjacency is the pipeline's only persistent O(N^2/P) state;
+        # packing 8 columns/byte (ops/bits.py) shrinks it 8x — consumers
+        # unpack (b, npad) row chunks on the fly, so peak bool memory
+        # stays at chunk scale.
+        from ssg_tpu.ops.bits import pack_bits, popcount, unpack_bits
+        from ssg_tpu.parallel.ring import stripe_transpose_packed
+
+        nbytes = npad // 8
+
         def adj_body(c, acc):
             fd = final_chunk(c)
             rows = row0_global + c * b + jnp.arange(b, dtype=jnp.int32)
             ok = (rows[:, None] < n) & col_valid[None, :]
             return jax.lax.dynamic_update_slice(
-                acc, (fd <= eps) & ok, (c * b, 0)
+                acc, pack_bits((fd <= eps) & ok), (c * b, 0)
             )
 
-        adj = jax.lax.fori_loop(
-            0, n_chunks, adj_body, jnp.zeros((r, npad), bool)
+        adj_p = jax.lax.fori_loop(
+            0, n_chunks, adj_body, jnp.zeros((r, nbytes), jnp.uint8)
         )
-        from ssg_tpu.parallel.ring import stripe_transpose
-
-        adj = adj | stripe_transpose(adj)
+        # Symmetrize: bitwise OR on packed bytes IS set union.
+        adj_p = adj_p | stripe_transpose_packed(adj_p)
         big = jnp.int32(npad)
-        degree = jnp.sum(adj.astype(jnp.int32), axis=1)
+
+        def degree_body(c, acc):
+            blk = jax.lax.dynamic_slice(adj_p, (c * b, 0), (b, nbytes))
+            d = jnp.sum(popcount(blk), axis=1, dtype=jnp.int32)
+            return jax.lax.dynamic_update_slice(acc, d, (c * b,))
+
+        degree = jax.lax.fori_loop(
+            0, n_chunks, degree_body, jnp.zeros((r,), jnp.int32)
+        )
         core_local = degree >= min_samples
         core = jax.lax.all_gather(core_local, "data", tiled=True)
+        core_p = pack_bits(core)  # (nbytes,) column mask, packed
         gidx = row0_global + jnp.arange(r, dtype=jnp.int32)
-        adj_core = adj & core_local[:, None] & core[None, :]
+        adj_core_p = jnp.where(core_local[:, None], adj_p & core_p[None, :],
+                               jnp.uint8(0))
         labels = jax.lax.all_gather(
             jnp.where(core_local, gidx, big), "data", tiled=True
         )
@@ -391,9 +409,12 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
         def propagate(labels):
             # Chunked neighbor-min: the masked (r, npad) int32 select would
             # be the largest transient of the whole pipeline at big N; a
-            # (b, npad) rolling window keeps phase-4 memory at bool scale.
+            # (b, npad) rolling window keeps phase-4 memory at chunk scale.
             def nmin(c, acc):
-                a = jax.lax.dynamic_slice(adj_core, (c * b, 0), (b, npad))
+                a = unpack_bits(
+                    jax.lax.dynamic_slice(adj_core_p, (c * b, 0), (b, nbytes)),
+                    npad,
+                )
                 m = jnp.min(jnp.where(a, labels[None, :], big), axis=1)
                 return jax.lax.dynamic_update_slice(acc, m, (c * b,))
 
@@ -418,10 +439,12 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
         labels, _ = jax.lax.while_loop(cond, body, (labels, start))
 
         def border_min(c, acc):
-            a = jax.lax.dynamic_slice(adj, (c * b, 0), (b, npad))
-            m = jnp.min(
-                jnp.where(a & core[None, :], labels[None, :], big), axis=1
+            a = unpack_bits(
+                jax.lax.dynamic_slice(adj_p, (c * b, 0), (b, nbytes))
+                & core_p[None, :],
+                npad,
             )
+            m = jnp.min(jnp.where(a, labels[None, :], big), axis=1)
             return jax.lax.dynamic_update_slice(acc, m, (c * b,))
 
         core_neigh_local = jax.lax.fori_loop(
@@ -449,10 +472,15 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
 def _stripe_config(features, mesh, chunk, col_blocks):
     """Shared stripe geometry: row padding, column blocking under the 2 GiB
     buffer limit, chunk divisor fitting. Returns (f, n, npad, r, n_vblk, c)."""
+    import math
+
     p = mesh.shape["data"]
     n = features.shape[0]
-    f = _pad_rows(features.astype(jnp.float32), p * chunk if n > p * chunk
-                  else p)
+    # Rows pad to a multiple of lcm(base, 8p): the per-device stripe r must
+    # divide by 8 for the bit-packed adjacency (ops/bits.py LSB-first bytes
+    # + the packed ring transpose).
+    base = p * chunk if n > p * chunk else p
+    f = _pad_rows(features.astype(jnp.float32), math.lcm(base, 8 * p))
     npad = f.shape[0]
     r = npad // p
     # Column-block V/rh so no single fp32 buffer exceeds ~1 GiB (XLA's hard
@@ -465,11 +493,14 @@ def _stripe_config(features, mesh, chunk, col_blocks):
         n_vblk = 1
         while r * (npad // n_vblk) * 4 > 2**30 and npad % (n_vblk * 2) == 0:
             n_vblk *= 2
-    if r * npad > 2**31:  # the (un-blocked) bool adjacency stripe's limit
+    # Packed adjacency stripe (r x npad/8 bytes) and the (r, r) bool block
+    # transient of the packed ring transpose are the remaining hard buffer
+    # bounds (the bool chunk transients scale with `chunk`, not N).
+    if r * npad // 8 > 2**31 or r * r > 2**31:
         raise ValueError(
-            f"bool adjacency stripe ({r} x {npad}) exceeds the 2 GiB buffer "
-            f"limit; use a mesh with P >= {npad * npad // 2**31 + 1} devices "
-            f"for N={n}."
+            f"adjacency stripe ({r} x {npad} bits) or transpose block "
+            f"({r} x {r} bool) exceeds the 2 GiB buffer limit; use a mesh "
+            f"with more devices for N={n}."
         )
     # Chunk must divide the per-device stripe; shrink for tiny inputs.
     c = min(chunk, r)
