@@ -91,18 +91,71 @@ class BasicBlock(nn.Module):
         return nn.relu(y + residual)
 
 
+class StemConv(nn.Module):
+    """The 7x7/s2 stem conv, with an optional space-to-depth evaluation.
+
+    A 3-channel 7x7 conv wastes most of the MXU's contraction lanes (the
+    K dim pads 3 -> 8+). The mathematically exact rewrite (MLPerf ResNet
+    trick): 2x2 space-to-depth the input (12 channels) and evaluate a 4x4
+    stride-1 conv whose kernel is the zero-front-padded 7x7 kernel
+    reshaped — same multiply-adds, 4x better channel occupancy. The
+    parameter stays the canonical (7, 7, 3, 64) kernel at the torchvision
+    path (backbone/conv1/kernel), so checkpoint conversion is unaffected.
+    """
+
+    dtype: Any = jnp.float32
+    precision: Any = None
+    s2d: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, 3, 64),
+            jnp.float32,
+        )
+        b, h, w, _ = x.shape
+        if not (self.s2d and h % 2 == 0 and w % 2 == 0):
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
+            )
+            return jax.lax.conv_general_dilated(
+                x, kernel.astype(self.dtype), (2, 2), [(3, 3), (3, 3)],
+                dimension_numbers=dn, precision=self.precision,
+            )
+        # out[p] = sum_{u} k[u] x[2p+u-3]; with u-3 = 2a+d (a in -2..1,
+        # d in {0,1}) this is a 4-tap conv over the d-indexed s2d planes
+        # with asymmetric padding (2, 1). Exactness test: test_models.
+        kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k2 = kp.reshape(4, 2, 4, 2, 3, 64).transpose(0, 2, 1, 3, 4, 5)
+        k2 = k2.reshape(4, 4, 12, 64)
+        z = x.reshape(b, h // 2, 2, w // 2, 2, 3)
+        z = z.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 12)
+        dn = jax.lax.conv_dimension_numbers(
+            z.shape, k2.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        return jax.lax.conv_general_dilated(
+            z, k2.astype(self.dtype), (1, 1), [(2, 1), (2, 1)],
+            dimension_numbers=dn, precision=self.precision,
+        )
+
+
 class ResNetBackbone(nn.Module):
     stage_sizes: Sequence[int]
     block: ModuleDef = Bottleneck
     last_stride: int = 2
     dtype: Any = jnp.float32
     precision: Any = None
+    stem_s2d: bool | None = None  # None: on for TPU backends
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
-            64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
-            dtype=self.dtype, precision=self.precision, name="conv1",
+        s2d = self.stem_s2d
+        if s2d is None:
+            from ssg_tpu.ops._compat import on_tpu
+
+            s2d = on_tpu()
+        x = StemConv(
+            dtype=self.dtype, precision=self.precision, s2d=s2d, name="conv1",
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
@@ -149,13 +202,15 @@ class SSGResNet(nn.Module):
     last_stride: int = 2
     dtype: Any = jnp.float32
     precision: Any = None
+    stem_s2d: bool | None = None  # space-to-depth stem (None: on for TPU)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         fmap = ResNetBackbone(
             stage_sizes=self.stage_sizes, block=self.block,
             last_stride=self.last_stride, dtype=self.dtype,
-            precision=self.precision, name="backbone",
+            precision=self.precision, stem_s2d=self.stem_s2d,
+            name="backbone",
         )(x, train=train)
         h = fmap.shape[1]
         pools = [

@@ -141,3 +141,29 @@ def test_every_factory_arch_forward(arch):
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
     out = model.apply(variables, x, train=False)
     assert out["embeddings"].shape == (3, 1, 8)
+
+
+def test_stem_s2d_matches_canonical_conv(rng):
+    """Space-to-depth stem (StemConv.s2d) is the exact same conv: same
+    params, same output to fp tolerance, for any even input size."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssg_tpu.models.resnet import StemConv
+
+    x = jnp.asarray(rng.normal(size=(2, 64, 32, 3)).astype(np.float32))
+    ref_mod = StemConv(s2d=False)
+    variables = ref_mod.init(jax.random.PRNGKey(0), x)
+    ref = ref_mod.apply(variables, x)
+    got = StemConv(s2d=True).apply(variables, x)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
+
+    # Odd spatial sizes fall back to the canonical path (no crash).
+    x_odd = jnp.asarray(rng.normal(size=(1, 31, 17, 3)).astype(np.float32))
+    v2 = StemConv(s2d=False).init(jax.random.PRNGKey(1), x_odd)
+    np.testing.assert_allclose(
+        np.asarray(StemConv(s2d=True).apply(v2, x_odd)),
+        np.asarray(StemConv(s2d=False).apply(v2, x_odd)), atol=2e-4,
+    )
