@@ -217,6 +217,9 @@ class Evaluator:
                  part: str = "concat", mesh=None):
         self.model = model
         self.variables = variables
+        if mesh is not None and batch_size % mesh.size:
+            # Sharded extraction needs the (padded) batch to split evenly.
+            batch_size = -(-batch_size // mesh.size) * mesh.size
         self.batch_size = batch_size
         self.part = part
         self.mesh = mesh  # route large/rerank eval over a device mesh

@@ -12,6 +12,13 @@ hosts. What remains — and lives here — is data placement: a host numpy
 array cannot be auto-committed to devices another process owns, so global
 inputs are assembled shard-by-shard from each process's addressable slice
 (``global_put``).
+
+Multi-host coverage: the clustering pipelines (``streaming_cluster``,
+``streaming_rerank_eval``) place all inputs through ``global_put`` and run
+process-spanning (tests/test_multihost.py). Data-parallel extraction and
+fine-tuning use single-process ``device_put`` placement (parallel/dp.py) —
+they cover every single-host mesh; extending them multi-host means routing
+their batch placement through ``global_put`` per-process batch slices.
 """
 
 from __future__ import annotations
