@@ -113,6 +113,7 @@ class StemConv(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (7, 7, 3, 64),
             jnp.float32,
         )
+        x = x.astype(self.dtype)  # nn.Conv's input promotion, made explicit
         b, h, w, _ = x.shape
         if not (self.s2d and h % 2 == 0 and w % 2 == 0):
             dn = jax.lax.conv_dimension_numbers(

@@ -167,3 +167,21 @@ def test_stem_s2d_matches_canonical_conv(rng):
         np.asarray(StemConv(s2d=True).apply(v2, x_odd)),
         np.asarray(StemConv(s2d=False).apply(v2, x_odd)), atol=2e-4,
     )
+
+
+def test_stem_s2d_bf16_policy(rng):
+    """StemConv must follow the model's compute-dtype policy (bf16 inputs
+    meet bf16 kernels) on both stem paths — regression for a dtype mismatch
+    that only surfaced under dtype=bfloat16."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssg_tpu import models
+
+    for s2d in (False, True):
+        m = models.create("resnet50", num_features=0, num_parts=3,
+                          dtype=jnp.bfloat16, stem_s2d=s2d)
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 16, 3)),
+                   train=False)
+        out = m.apply(v, jnp.zeros((2, 32, 16, 3)), train=False)
+        assert out["embeddings"].dtype == jnp.float32  # heads stay fp32
