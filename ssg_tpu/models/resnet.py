@@ -38,9 +38,42 @@ class Bottleneck(nn.Module):
     strides: int = 1
     dtype: Any = jnp.float32
     precision: Any = None
+    fused_eval: bool = False  # route eval identity blocks through Pallas
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # Eval-mode identity blocks (stride 1, matching channels) can route
+        # through the fused Pallas kernel (ops/bottleneck): BatchNorms fold
+        # into the conv weights and the two mid-width intermediates stay in
+        # VMEM. v5e measurement (docs/extract_profile.md round-2 addendum):
+        # the kernel beats XLA's conv per-block in isolation (1.2-1.8x for
+        # Cm <= 256) but LOSES end to end — every XLA fusion that feeds a
+        # Pallas op must emit the default layout instead of its preferred
+        # tiled layout, and those boundary passes cost more than the
+        # per-block wins (6.05 -> 6.1..7.0 ms/batch measured across
+        # gatings). Hence default OFF; the kernel stays as the foundation
+        # for stage-level fusion (one Pallas span per stage), which is the
+        # only shape that amortizes the boundaries.
+        if (
+            self.fused_eval
+            and not train
+            and not self.is_initializing()
+            and self.strides == 1
+            and x.shape[-1] == 4 * self.features
+        ):
+            from ssg_tpu.ops.bottleneck import fold_bn, fused_bottleneck
+
+            p = self.variables["params"]
+            s = self.variables["batch_stats"]
+            (w1, b1), (w2, b2), (w3, b3) = [
+                fold_bn(p[c]["kernel"], p[b]["scale"], p[b]["bias"],
+                        s[b]["mean"], s[b]["var"], 1e-5)
+                for c, b in (("conv1", "bn1"), ("conv2", "bn2"),
+                             ("conv3", "bn3"))
+            ]
+            return fused_bottleneck(
+                x.astype(self.dtype), w1[0, 0], b1, w2, b2, w3[0, 0], b3)
+
         conv = lambda f, k, s, name: nn.Conv(  # noqa: E731
             f, (k, k), (s, s), padding=[(k // 2, k // 2)] * 2, use_bias=False,
             dtype=self.dtype, precision=self.precision, name=name,
@@ -69,6 +102,7 @@ class BasicBlock(nn.Module):
     strides: int = 1
     dtype: Any = jnp.float32
     precision: Any = None
+    fused_eval: bool = False  # accepted for interface parity; unused
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -89,6 +123,36 @@ class BasicBlock(nn.Module):
             residual = conv(self.features, 1, self.strides, "downsample_conv")(x)
             residual = bn("downsample_bn")(residual)
         return nn.relu(y + residual)
+
+
+def stem_conv_apply(x, kernel, dtype, precision=None, s2d=False):
+    """The 7x7/s2 stem conv math (kernel: (7, 7, 3, 64)), as a plain
+    function so non-module callers (perf experiments) can reuse it."""
+    x = x.astype(dtype)  # nn.Conv's input promotion, made explicit
+    b, h, w, _ = x.shape
+    if not (s2d and h % 2 == 0 and w % 2 == 0):
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        return jax.lax.conv_general_dilated(
+            x, kernel.astype(dtype), (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=dn, precision=precision,
+        )
+    # out[p] = sum_{u} k[u] x[2p+u-3]; with u-3 = 2a+d (a in -2..1,
+    # d in {0,1}) this is a 4-tap conv over the d-indexed s2d planes
+    # with asymmetric padding (2, 1). Exactness test: test_models.
+    kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    k2 = kp.reshape(4, 2, 4, 2, 3, 64).transpose(0, 2, 1, 3, 4, 5)
+    k2 = k2.reshape(4, 4, 12, 64)
+    z = x.reshape(b, h // 2, 2, w // 2, 2, 3)
+    z = z.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 12)
+    dn = jax.lax.conv_dimension_numbers(
+        z.shape, k2.shape, ("NHWC", "HWIO", "NHWC")
+    )
+    return jax.lax.conv_general_dilated(
+        z, k2.astype(dtype), (1, 1), [(2, 1), (2, 1)],
+        dimension_numbers=dn, precision=precision,
+    )
 
 
 class StemConv(nn.Module):
@@ -113,31 +177,8 @@ class StemConv(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (7, 7, 3, 64),
             jnp.float32,
         )
-        x = x.astype(self.dtype)  # nn.Conv's input promotion, made explicit
-        b, h, w, _ = x.shape
-        if not (self.s2d and h % 2 == 0 and w % 2 == 0):
-            dn = jax.lax.conv_dimension_numbers(
-                x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
-            )
-            return jax.lax.conv_general_dilated(
-                x, kernel.astype(self.dtype), (2, 2), [(3, 3), (3, 3)],
-                dimension_numbers=dn, precision=self.precision,
-            )
-        # out[p] = sum_{u} k[u] x[2p+u-3]; with u-3 = 2a+d (a in -2..1,
-        # d in {0,1}) this is a 4-tap conv over the d-indexed s2d planes
-        # with asymmetric padding (2, 1). Exactness test: test_models.
-        kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
-        k2 = kp.reshape(4, 2, 4, 2, 3, 64).transpose(0, 2, 1, 3, 4, 5)
-        k2 = k2.reshape(4, 4, 12, 64)
-        z = x.reshape(b, h // 2, 2, w // 2, 2, 3)
-        z = z.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 12)
-        dn = jax.lax.conv_dimension_numbers(
-            z.shape, k2.shape, ("NHWC", "HWIO", "NHWC")
-        )
-        return jax.lax.conv_general_dilated(
-            z, k2.astype(self.dtype), (1, 1), [(2, 1), (2, 1)],
-            dimension_numbers=dn, precision=self.precision,
-        )
+        return stem_conv_apply(x, kernel, self.dtype, self.precision,
+                               self.s2d)
 
 
 class ResNetBackbone(nn.Module):
@@ -147,6 +188,7 @@ class ResNetBackbone(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     stem_s2d: bool | None = None  # None: on for TPU backends
+    fused_eval: bool = False  # fused identity bottlenecks (Bottleneck only)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -174,6 +216,7 @@ class ResNetBackbone(nn.Module):
                     strides=stage_stride if blk == 0 else 1,
                     dtype=self.dtype,
                     precision=self.precision,
+                    fused_eval=self.fused_eval,
                     name=f"layer{stage + 1}_{blk}",
                 )(x, train=train)
         return x  # (B, h, w, C) conv5 feature map
@@ -204,6 +247,7 @@ class SSGResNet(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     stem_s2d: bool | None = None  # space-to-depth stem (None: on for TPU)
+    fused_eval: bool = False  # fused identity bottlenecks at eval (see Bottleneck)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -211,7 +255,7 @@ class SSGResNet(nn.Module):
             stage_sizes=self.stage_sizes, block=self.block,
             last_stride=self.last_stride, dtype=self.dtype,
             precision=self.precision, stem_s2d=self.stem_s2d,
-            name="backbone",
+            fused_eval=self.fused_eval, name="backbone",
         )(x, train=train)
         h = fmap.shape[1]
         pools = [
