@@ -30,6 +30,70 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(reinterpret_cast<JpegErr*>(cinfo->err)->jump, 1);
 }
 
+// EXIF orientation (tag 0x0112) from a raw APP1 "Exif\0\0" payload.
+// Minimal TIFF walk: byte order, IFD0, scan entries. Returns 1..8, or 1 on
+// any parse doubt (identity — never worse than ignoring EXIF entirely).
+int parse_exif_orientation(const uint8_t* d, unsigned len) {
+  if (len < 14 || std::memcmp(d, "Exif\0\0", 6) != 0) return 1;
+  const uint8_t* t = d + 6;  // TIFF header
+  unsigned tlen = len - 6;
+  bool le;
+  if (t[0] == 'I' && t[1] == 'I') le = true;
+  else if (t[0] == 'M' && t[1] == 'M') le = false;
+  else return 1;
+  auto u16 = [&](unsigned off) -> unsigned {
+    return le ? t[off] | (t[off + 1] << 8) : (t[off] << 8) | t[off + 1];
+  };
+  auto u32 = [&](unsigned off) -> unsigned {
+    return le ? t[off] | (t[off + 1] << 8) | (t[off + 2] << 16) |
+                    (static_cast<unsigned>(t[off + 3]) << 24)
+              : (static_cast<unsigned>(t[off]) << 24) | (t[off + 1] << 16) |
+                    (t[off + 2] << 8) | t[off + 3];
+  };
+  if (tlen < 8 || u16(2) != 42) return 1;
+  unsigned ifd = u32(4);
+  if (ifd + 2 > tlen) return 1;
+  unsigned n = u16(ifd);
+  for (unsigned i = 0; i < n; ++i) {
+    unsigned e = ifd + 2 + i * 12;
+    if (e + 12 > tlen) return 1;
+    if (u16(e) == 0x0112 && u16(e + 2) == 3) {  // SHORT orientation
+      unsigned v = u16(e + 8);
+      return (v >= 1 && v <= 8) ? static_cast<int>(v) : 1;
+    }
+  }
+  return 1;
+}
+
+// Apply an EXIF orientation to a decoded image (same convention as
+// PIL.ImageOps.exif_transpose): map each output pixel to its source.
+void apply_orientation(Image* im, int o) {
+  if (o <= 1 || o > 8) return;
+  const int h = im->h, w = im->w;
+  const bool swap = o >= 5;  // 5..8 transpose h/w
+  const int oh = swap ? w : h, ow = swap ? h : w;
+  std::vector<uint8_t> out(static_cast<size_t>(oh) * ow * 3);
+  for (int y = 0; y < oh; ++y) {
+    for (int x = 0; x < ow; ++x) {
+      int sy, sx;
+      switch (o) {
+        case 2: sy = y; sx = w - 1 - x; break;          // flip H
+        case 3: sy = h - 1 - y; sx = w - 1 - x; break;  // rot 180
+        case 4: sy = h - 1 - y; sx = x; break;          // flip V
+        case 5: sy = x; sx = y; break;                  // transpose
+        case 6: sy = h - 1 - x; sx = y; break;          // rot 90 CW
+        case 7: sy = h - 1 - x; sx = w - 1 - y; break;  // transverse
+        default: sy = x; sx = w - 1 - y; break;         // 8: rot 270 CW
+      }
+      std::memcpy(out.data() + (static_cast<size_t>(y) * ow + x) * 3,
+                  im->rgb.data() + (static_cast<size_t>(sy) * w + sx) * 3, 3);
+    }
+  }
+  im->h = oh;
+  im->w = ow;
+  im->rgb.swap(out);
+}
+
 int decode_jpeg(FILE* f, Image* im) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
@@ -41,19 +105,45 @@ int decode_jpeg(FILE* f, Image* im) {
   }
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
+  jpeg_save_markers(&cinfo, JPEG_APP0 + 1, 0xFFFF);  // EXIF
   jpeg_read_header(&cinfo, TRUE);
-  cinfo.out_color_space = JCS_RGB;
+  // CMYK/YCCK (Adobe) JPEGs can't be converted to RGB by libjpeg itself:
+  // decode raw 4-channel and convert below (values are stored inverted,
+  // the Adobe convention — same handling as libjpeg-turbo/PIL).
+  const bool cmyk = cinfo.jpeg_color_space == JCS_CMYK ||
+                    cinfo.jpeg_color_space == JCS_YCCK;
+  cinfo.out_color_space = cmyk ? JCS_CMYK : JCS_RGB;
+  int orientation = 1;
+  for (jpeg_saved_marker_ptr m = cinfo.marker_list; m; m = m->next) {
+    if (m->marker == JPEG_APP0 + 1 && m->data_length >= 14)
+      orientation = parse_exif_orientation(m->data, m->data_length);
+  }
   jpeg_start_decompress(&cinfo);
   im->w = static_cast<int>(cinfo.output_width);
   im->h = static_cast<int>(cinfo.output_height);
   im->rgb.resize(static_cast<size_t>(im->h) * im->w * 3);
-  const int stride = im->w * 3;
+  const int comps = cinfo.output_components;  // 3 (RGB) or 4 (CMYK)
+  std::vector<uint8_t> line(static_cast<size_t>(im->w) * comps);
   while (cinfo.output_scanline < cinfo.output_height) {
-    JSAMPROW row = im->rgb.data() + static_cast<size_t>(cinfo.output_scanline) * stride;
+    const size_t y = cinfo.output_scanline;
+    JSAMPROW row = line.data();
     jpeg_read_scanlines(&cinfo, &row, 1);
+    uint8_t* dst = im->rgb.data() + y * im->w * 3;
+    if (cmyk) {
+      for (int x = 0; x < im->w; ++x) {
+        const uint8_t* p = line.data() + static_cast<size_t>(x) * 4;
+        const unsigned k = p[3];
+        dst[x * 3 + 0] = static_cast<uint8_t>(p[0] * k / 255);
+        dst[x * 3 + 1] = static_cast<uint8_t>(p[1] * k / 255);
+        dst[x * 3 + 2] = static_cast<uint8_t>(p[2] * k / 255);
+      }
+    } else {
+      std::memcpy(dst, line.data(), static_cast<size_t>(im->w) * 3);
+    }
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
+  apply_orientation(im, orientation);
   return SSG_OK;
 }
 

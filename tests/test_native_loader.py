@@ -134,3 +134,47 @@ def test_directory_dataset_uses_native(tmp_path, monkeypatch):
     # Different bilinear implementations (PIL area-weighted vs pixel-center):
     # agree to within a small mean error on random pixels.
     assert np.abs(native.astype(int) - pil.astype(int)).mean() < 30
+
+
+def test_exif_orientation_all_eight(tmp_path):
+    """EXIF-rotated JPEGs decode upright, matching PIL.ImageOps.exif_transpose.
+
+    Real-world re-ID raw distributions contain camera-rotated JPEGs; the
+    reference's PIL loader honors the orientation tag, so ours must too
+    (native/ssg_data/image.cc parse_exif_orientation/apply_orientation).
+    """
+    from PIL import ImageOps
+
+    rng = np.random.default_rng(1)
+    # Low-frequency image so JPEG loss stays small and orientation errors
+    # (which move pixels by half the image) are unmistakable.
+    base = rng.integers(0, 8, size=(6, 4, 3)).repeat(16, 0).repeat(16, 1)
+    arr = (base * 32 + 16).astype(np.uint8)
+    for orient in range(1, 9):
+        p = os.path.join(tmp_path, f"o{orient}.jpg")
+        img = PIL.fromarray(arr)
+        exif = img.getexif()
+        exif[0x0112] = orient
+        img.save(p, quality=95, exif=exif)
+
+        pil_img = ImageOps.exif_transpose(PIL.open(p)).convert("RGB")
+        want = np.asarray(pil_img)
+        got = native_loader.decode_resize(p, want.shape[0], want.shape[1])
+        err = np.abs(got.astype(int) - want.astype(int))
+        assert err.max() <= 24 and err.mean() < 3, (
+            f"orientation {orient}: max {err.max()} mean {err.mean():.2f}")
+
+
+def test_cmyk_jpeg_decodes_like_pil(tmp_path):
+    """Adobe CMYK JPEGs decode to RGB (4-channel convert in image.cc)."""
+    rng = np.random.default_rng(2)
+    base = rng.integers(0, 8, size=(6, 4, 4)).repeat(16, 0).repeat(16, 1)
+    arr4 = (base * 32 + 16).astype(np.uint8)
+    p = os.path.join(tmp_path, "cmyk.jpg")
+    PIL.fromarray(arr4, mode="CMYK").save(p, quality=95)
+
+    want = np.asarray(PIL.open(p).convert("RGB"))
+    got = native_loader.decode_resize(p, want.shape[0], want.shape[1])
+    err = np.abs(got.astype(int) - want.astype(int))
+    assert err.max() <= 24 and err.mean() < 3, (
+        f"max {err.max()} mean {err.mean():.2f}")
