@@ -4,10 +4,10 @@ Mirrors [reid/evaluation_metrics/ranking.py] (SURVEY.md §2 #8): ``cmc(...,
 separate_camera_set, single_gallery_shot, first_match_break, topk)`` and
 ``mean_ap(...)``. The reference loops over queries in numpy; here one jitted
 graph does argsort + masked cumulative sums for every query at once
-(first_match_break) or a flat scatter-add histogram (allshots). The one
-protocol that is inherently random — ``single_gallery_shot`` (cuhk03:
-sample one gallery image per identity, repeat 10x) — stays in numpy via
-the pinned oracle.
+(first_match_break), a flat scatter-add histogram (allshots), or — for the
+randomized cuhk03 ``single_gallery_shot`` protocol — counter-based
+per-identity sampling via group-argmin over random priorities
+(_cmc_sgs_device), all 10 repeats vmapped in one graph.
 """
 
 from __future__ import annotations
@@ -17,8 +17,6 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-from ssg_tpu.oracle.ranking import cmc_np
 
 _TOPK_PAD = 100  # compile one kernel; slice to the requested topk on host
 
@@ -67,6 +65,70 @@ def _cmc_device(
     return curve, jnp.sum(has_match)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("separate_camera_set", "repeats"))
+def _cmc_sgs_device(
+    distmat,
+    query_ids,
+    gallery_ids,
+    query_cams,
+    gallery_cams,
+    gallery_codes,  # dense [0, n_ids) remap of gallery_ids (host-side)
+    key,
+    *,
+    separate_camera_set: bool,
+    repeats: int,
+):
+    """cuhk03 single-gallery-shot protocol, fully on device.
+
+    Per repeat: sample ONE valid gallery instance per gallery identity
+    (uniform within the group — realized as a per-group argmin over iid
+    random priorities, ties broken by sorted position via a second
+    group-min), then score the single sampled match's rank within the
+    sampled subsequence. Since sampling keeps exactly one instance per id
+    there is exactly one match, so allshots and first_match_break
+    coincide — the reference's numpy loop ([reid/evaluation_metrics/
+    ranking.py] cmc) reduces to the same histogram.
+    """
+    q, g = distmat.shape
+    order = jnp.argsort(distmat, axis=1)
+    g_ids = gallery_ids[order]
+    g_cams = gallery_cams[order]
+    codes = gallery_codes[order]  # (Q, G) dense ids in sorted order
+
+    matches = g_ids == query_ids[:, None]
+    valid = (g_ids != query_ids[:, None]) | (g_cams != query_cams[:, None])
+    if separate_camera_set:
+        valid &= g_cams != query_cams[:, None]
+    has_match = jnp.any(matches & valid, axis=1)
+    n_valid_q = jnp.maximum(jnp.sum(has_match), 1)
+
+    rows = jnp.arange(q)[:, None]
+    cols = jnp.broadcast_to(jnp.arange(g)[None, :], (q, g))
+    big_u = jnp.uint32(0xFFFFFFFF)
+    ks = jnp.arange(1, _TOPK_PAD + 1, dtype=jnp.float32)
+
+    def one_repeat(key_r):
+        u = jax.random.bits(key_r, (q, g), jnp.uint32)
+        u = jnp.where(valid, u, big_u)
+        # Group-min of u per (query, gallery id), then min position among
+        # the elements attaining it — a deterministic uniform pick.
+        table_u = jnp.full((q, g), big_u).at[rows, codes].min(u)
+        at_min = valid & (u == table_u[rows, codes])
+        pos = jnp.where(at_min, cols, g)
+        table_p = jnp.full((q, g), g).at[rows, codes].min(pos)
+        sampled = at_min & (cols == table_p[rows, codes])
+
+        rank = jnp.cumsum(sampled.astype(jnp.float32), axis=1)
+        big = jnp.float32(g + 1)
+        first_hit = jnp.min(jnp.where(matches & sampled, rank, big), axis=1)
+        hits = (first_hit[:, None] <= ks[None, :]) & has_match[:, None]
+        return jnp.sum(hits.astype(jnp.float32), axis=0)
+
+    curves = jax.vmap(one_repeat)(jax.random.split(key, repeats))
+    return jnp.mean(curves, axis=0) / n_valid_q, jnp.sum(has_match)
+
+
 def cmc(
     distmat,
     query_ids,
@@ -77,18 +139,30 @@ def cmc(
     separate_camera_set: bool = False,
     single_gallery_shot: bool = False,
     first_match_break: bool = False,
+    rng: np.random.Generator | None = None,
 ) -> np.ndarray:
     """CMC curve (length ``topk``). Reference defaults: allshots; market1501
-    protocol = ``first_match_break=True``."""
-    if single_gallery_shot:
-        return cmc_np(
-            np.asarray(distmat), np.asarray(query_ids), np.asarray(gallery_ids),
-            np.asarray(query_cams), np.asarray(gallery_cams), topk=topk,
-            separate_camera_set=separate_camera_set, single_gallery_shot=True,
-            first_match_break=first_match_break,
-        )
+    protocol = ``first_match_break=True``; cuhk03 = ``separate_camera_set``
+    + ``single_gallery_shot`` (randomized — pass ``rng`` to pin the seed;
+    device sampling is counter-based, statistically equivalent to the
+    reference's numpy draw, not draw-for-draw identical)."""
     if topk > _TOPK_PAD:
         raise ValueError(f"topk={topk} exceeds the compiled pad {_TOPK_PAD}")
+    if single_gallery_shot:
+        g_ids = np.asarray(gallery_ids)
+        _, codes = np.unique(g_ids, return_inverse=True)
+        seed = int((rng or np.random.default_rng(0)).integers(2**31))
+        curve, n_valid = _cmc_sgs_device(
+            jnp.asarray(distmat),
+            jnp.asarray(query_ids), jnp.asarray(g_ids),
+            jnp.asarray(query_cams), jnp.asarray(gallery_cams),
+            jnp.asarray(codes.astype(np.int32)),
+            jax.random.PRNGKey(seed),
+            separate_camera_set=separate_camera_set, repeats=10,
+        )
+        if int(n_valid) == 0:
+            raise RuntimeError("No valid query")
+        return np.asarray(curve)[:topk]
     curve, n_valid = _cmc_device(
         jnp.asarray(distmat),
         jnp.asarray(query_ids), jnp.asarray(gallery_ids),

@@ -233,3 +233,50 @@ def test_cuhk03_synthetic_shape():
     ds = datasets.create("cuhk03", scale="tiny", seed=0)
     assert len(ds.train) > 0 and len(ds.query) > 0
     assert {c for _, _, c in ds.train} <= {0, 1}
+
+
+class TestSingleGalleryShotDevice:
+    """_cmc_sgs_device vs the numpy oracle (randomized cuhk03 protocol)."""
+
+    def test_exact_when_groups_are_singletons(self):
+        # One valid gallery instance per id -> sampling is deterministic,
+        # so device and oracle must agree exactly despite different RNGs.
+        from ssg_tpu.evaluation_metrics import cmc
+
+        rng = np.random.default_rng(7)
+        n_ids = 12
+        gi = np.arange(n_ids)
+        gc = np.ones(n_ids, int)
+        qi = np.arange(n_ids).repeat(2)
+        qc = np.zeros_like(qi)
+        d = rng.normal(size=(qi.size, n_ids))
+        kw = dict(topk=10, single_gallery_shot=True, first_match_break=False)
+        got = cmc(d, qi, gi, qc, gc, **kw)
+        want = cmc_np(d, qi, gi, qc, gc, **kw)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_statistically_matches_oracle(self):
+        # Multi-instance groups: both samplers are uniform-per-id, so the
+        # expected curves agree; average over seeds and compare loosely.
+        from ssg_tpu.evaluation_metrics import cmc
+
+        rng = np.random.default_rng(3)
+        n_ids, per_id = 8, 4
+        gi = np.arange(n_ids).repeat(per_id)
+        gc = rng.integers(1, 3, size=gi.size)
+        qi = np.arange(n_ids).repeat(3)
+        qc = np.zeros_like(qi)
+        feats_g = rng.normal(size=(n_ids, 5))[gi] + 0.8 * rng.normal(
+            size=(gi.size, 5))
+        feats_q = rng.normal(size=(n_ids, 5))[qi] + 0.8 * rng.normal(
+            size=(qi.size, 5))
+        d = ((feats_q[:, None] - feats_g[None]) ** 2).sum(-1)
+        kw = dict(topk=10, single_gallery_shot=True, first_match_break=False,
+                  separate_camera_set=False)
+        got = np.mean([
+            cmc(d, qi, gi, qc, gc, rng=np.random.default_rng(s), **kw)
+            for s in range(8)], axis=0)
+        want = np.mean([
+            cmc_np(d, qi, gi, qc, gc, rng=np.random.default_rng(s), **kw)
+            for s in range(8)], axis=0)
+        np.testing.assert_allclose(got, want, atol=0.05)
