@@ -258,9 +258,13 @@ class SSGResNet(nn.Module):
             fused_eval=self.fused_eval, name="backbone",
         )(x, train=train)
         h = fmap.shape[1]
+        # max(h//2, 1): a height-1 conv5 map (tiny inputs) would make the
+        # upper slice empty -> mean 0/0 -> NaN poisoning the whole step
+        # (caught by tests/test_sanitizers.py); both halves collapse to the
+        # whole row instead. Unchanged for h >= 2.
         pools = [
             jnp.mean(fmap, axis=(1, 2)),  # whole
-            jnp.mean(fmap[:, : h // 2], axis=(1, 2)),  # upper body
+            jnp.mean(fmap[:, : max(h // 2, 1)], axis=(1, 2)),  # upper body
             jnp.mean(fmap[:, h // 2 :], axis=(1, 2)),  # lower body
         ][: self.num_parts]
 
