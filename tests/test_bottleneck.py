@@ -95,3 +95,83 @@ def test_module_fused_eval_train_mode_unaffected():
         lambda p, q: np.testing.assert_array_equal(np.asarray(p),
                                                    np.asarray(q)),
         sa, sb)
+
+
+class TestFusedStage:
+    """Whole-stage fused kernel (ops/bottleneck_stage) vs XLA reference."""
+
+    @staticmethod
+    def _mk_blocks(key, c, cm, n_identity):
+        cout = 4 * cm
+        i = iter(range(1, 100))
+        mk = lambda s: jax.random.normal(  # noqa: E731
+            jax.random.fold_in(key, next(i)), s, jnp.float32) * 0.1
+        blk0 = (mk((c, cm)), mk((cm,)), mk((3, 3, cm, cm)), mk((cm,)),
+                mk((cm, cout)), mk((cout,)), mk((c, cout)), mk((cout,)))
+        idents = tuple(
+            (mk((cout, cm)), mk((cm,)), mk((3, 3, cm, cm)), mk((cm,)),
+             mk((cm, cout)), mk((cout,)))
+            for _ in range(n_identity))
+        return (blk0,) + idents
+
+    @pytest.mark.parametrize("stride", [1, 2])
+    def test_stage_matches_ref(self, stride):
+        from ssg_tpu.ops.bottleneck_stage import (
+            fused_bottleneck_stage, stage_ref)
+
+        key = jax.random.PRNGKey(0)
+        blocks = self._mk_blocks(key, c=16, cm=8, n_identity=2)
+        x = jax.random.normal(jax.random.fold_in(key, 0), (4, 16, 8, 16),
+                              jnp.float32)
+        ref = stage_ref(x, blocks, stride)
+        out = fused_bottleneck_stage(x, blocks, stride=stride,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_stage_matches_flax_module(self):
+        """Folded stage == the Flax Bottleneck chain with real BN stats."""
+        from flax.core import freeze
+        from ssg_tpu.models.resnet import Bottleneck
+        from ssg_tpu.ops.bottleneck import fold_bn
+        from ssg_tpu.ops.bottleneck_stage import fused_bottleneck_stage
+
+        key = jax.random.PRNGKey(3)
+        c_in, cm = 16, 8
+        x = jax.random.normal(key, (2, 8, 8, c_in), jnp.float32)
+        mods = [Bottleneck(features=cm, strides=2, dtype=jnp.float32),
+                Bottleneck(features=cm, strides=1, dtype=jnp.float32)]
+        y = x
+        vs, blocks = [], []
+        for j, mod in enumerate(mods):
+            v = mod.init(jax.random.fold_in(key, j), y, train=False)
+            # Randomize BN stats so folding is actually exercised.
+            stats = jax.tree_util.tree_map(
+                lambda a: a + 0.1 * jax.random.normal(
+                    jax.random.fold_in(key, 50 + j), a.shape),
+                v["batch_stats"])
+            stats = jax.tree_util.tree_map(jnp.abs, stats)
+            v = {"params": v["params"], "batch_stats": stats}
+            vs.append(v)
+            p, s = v["params"], v["batch_stats"]
+            folded = [fold_bn(p[cn]["kernel"], p[bn]["scale"], p[bn]["bias"],
+                              s[bn]["mean"], s[bn]["var"], 1e-5)
+                      for cn, bn in (("conv1", "bn1"), ("conv2", "bn2"),
+                                     ("conv3", "bn3"))]
+            (w1, b1), (w2, b2), (w3, b3) = folded
+            if "downsample_conv" in p:
+                wd, bd = fold_bn(
+                    p["downsample_conv"]["kernel"],
+                    p["downsample_bn"]["scale"], p["downsample_bn"]["bias"],
+                    s["downsample_bn"]["mean"], s["downsample_bn"]["var"],
+                    1e-5)
+                blocks.append((w1[0, 0], b1, w2, b2, w3[0, 0], b3,
+                               wd[0, 0], bd))
+            else:
+                blocks.append((w1[0, 0], b1, w2, b2, w3[0, 0], b3))
+            y = mod.apply(v, y, train=False)
+
+        out = fused_bottleneck_stage(x, tuple(blocks), stride=2,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(y),
+                                   atol=1e-4)
