@@ -51,9 +51,11 @@ class Bottleneck(nn.Module):
         # Pallas op must emit the default layout instead of its preferred
         # tiled layout, and those boundary passes cost more than the
         # per-block wins (6.05 -> 6.1..7.0 ms/batch measured across
-        # gatings). Hence default OFF; the kernel stays as the foundation
-        # for stage-level fusion (one Pallas span per stage), which is the
-        # only shape that amortizes the boundaries.
+        # gatings). Stage-level spans (ops/bottleneck_stage.py) lose too:
+        # an identity-copy Pallas splice alone costs +1.68 ms at the
+        # layer1 boundary — the repacking is structural. Default OFF; the
+        # kernels remain as tested primitives (full story in the profile
+        # doc).
         if (
             self.fused_eval
             and not train
