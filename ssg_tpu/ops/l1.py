@@ -45,14 +45,22 @@ def _l1_pallas(
     y: jax.Array,
     # Tiles swept on v5e at N=3368 (scripts/perf_l1.py): (128,128,256) runs
     # 19x faster than the naive (64,128,128) — Mosaic vectorizes the K sweep
-    # without materializing the full (tm,tn,tk) broadcast.
+    # without materializing the full (tm,tn,tk) broadcast. Round-2 re-sweep:
+    # a SINGLE K step (tk = whole padded row) is another 1.7x (39.4 ->
+    # 22.7 ms at N=3368; 7.9 -> 4.7 at N=2000) — the K-grid revolutions
+    # were re-fetching the accumulator tile; one step keeps it live. Used
+    # whenever the row pair fits VMEM (dp <= 6144 -> ~12.6 MB of the 16 MB
+    # scoped limit); larger rows fall back to tk=2048 blocks.
     tm: int = 128,
     tn: int = 128,
-    tk: int = 256,
+    tk: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     m, d = x.shape
     n, _ = y.shape
+    if tk is None:
+        dp_full = round_up(d, 512)
+        tk = dp_full if dp_full <= 6144 else 2048
     mp, np_, dp = round_up(m, tm), round_up(n, tn), round_up(d, tk)
     xpad = jnp.zeros((mp, dp), jnp.float32).at[:m, :d].set(x.astype(jnp.float32))
     ypad = jnp.zeros((np_, dp), jnp.float32).at[:n, :d].set(y.astype(jnp.float32))
