@@ -81,11 +81,18 @@ def _pairwise_pallas(
     squared: bool,
     tm: int = 256,
     tn: int = 256,
-    tk: int = 512,
+    # None: single K step when the row pair fits VMEM — same finding as
+    # ops/l1.py round 2 (K-grid revolutions re-fetch the accumulator
+    # tile): 2.01 -> 1.72 ms at (3368, 2048) on v5e.
+    tk: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     m, d = x.shape
     n, _ = y.shape
+    if tk is None:
+        dp_full = round_up(d, 512)
+        fits = (tm + tn) * dp_full * 4 * 2 + tm * tn * 8 <= 12 * 1024 * 1024
+        tk = dp_full if fits else 512
     mp, np_, dp = round_up(m, tm), round_up(n, tn), round_up(d, tk)
     # Zero padding in K adds 0 to every term; padded rows are sliced off.
     xpad = jnp.zeros((mp, dp), jnp.float32).at[:m, :d].set(x.astype(jnp.float32))
