@@ -34,11 +34,16 @@ def main():
     feats.block_until_ready()
     print(f"N={n} ids={ids} chunk={chunk}: features staged", flush=True)
 
+    # Timing discipline (ROADMAP "Measurement discipline"):
+    # block_until_ready does not reliably block through the axon tunnel —
+    # every timed region must end in a HOST READBACK of the result.
+    import numpy as np
+
     mesh = make_mesh(1)
     t0 = time.perf_counter()
     labels, n_clusters, eps = streaming_cluster(
         feats, mesh, k1=20, k2=6, rho=1.6e-3, min_samples=4, chunk=chunk)
-    jax.block_until_ready(labels)
+    labels = np.asarray(labels)
     t_first = time.perf_counter() - t0
     print(f"first call (incl. compile) {t_first:.1f}s: "
           f"{int(n_clusters)} clusters, eps={float(eps):.4f}", flush=True)
@@ -46,7 +51,7 @@ def main():
     t0 = time.perf_counter()
     labels, n_clusters, eps = streaming_cluster(
         feats, mesh, k1=20, k2=6, rho=1.6e-3, min_samples=4, chunk=chunk)
-    jax.block_until_ready(labels)
+    labels = np.asarray(labels)
     print(f"steady state {time.perf_counter() - t0:.2f}s "
           f"({int(n_clusters)} clusters)", flush=True)
 

@@ -53,23 +53,36 @@ def main():
         return
     with gzip.open(paths[-1], "rt") as f:
         trace = json.load(f)
-    by_shape, by_name, total = {}, {}, 0
-    for e in trace.get("traceEvents", []):
-        if e.get("ph") != "X" or not e.get("dur"):
-            continue
-        name = e["name"]
-        if name.startswith(("$", "PjitFunction", "jit_")):
-            if name.startswith("jit_step"):
-                by_name["TOTAL jit_step"] = by_name.get(
-                    "TOTAL jit_step", 0) + e["dur"]
-            continue
+    events = [e for e in trace.get("traceEvents", [])
+              if e.get("ph") == "X" and e.get("dur")]
+    # Device-op lane: the pid/tid of the jit_step executables; aggregate
+    # only TOP-LEVEL intervals on it (nested scopes like named
+    # subcomputations would otherwise double-count — the round-2 pitfall).
+    steps = [e for e in events if e["name"].startswith("jit_step")]
+    if not steps:
+        print("no jit_step events in trace")
+        return
+    lane = (steps[0].get("pid"), steps[0].get("tid"))
+    step_total = sum(e["dur"] for e in steps)
+    inner = sorted(
+        (e for e in events
+         if (e.get("pid"), e.get("tid")) == lane
+         and not e["name"].startswith(("jit_", "$", "PjitFunction"))),
+        key=lambda e: e["ts"])
+    top, end = [], -1
+    for e in inner:
+        if e["ts"] >= end:
+            top.append(e)
+            end = e["ts"] + e["dur"]
+    by_shape, total = {}, 0
+    for e in top:
         meta = (e.get("args") or {}).get("long_name", "")
         m = re.match(r"%\S+ = (\S+?)\{", meta)
-        shape = m.group(1) if m else name.split(".")[0]
+        shape = m.group(1) if m else e["name"].split(".")[0]
         by_shape[shape] = by_shape.get(shape, 0) + e["dur"]
         total += e["dur"]
-    print(f"step total {by_name.get('TOTAL jit_step', 0) / n / 1e3:.2f} ms; "
-          f"op-time sum {total / n / 1e3:.2f} ms/step (batch={batch})")
+    print(f"step total {step_total / n / 1e3:.2f} ms; top-level op sum "
+          f"{total / n / 1e3:.2f} ms/step (batch={batch})")
     for shape, dur in sorted(by_shape.items(), key=lambda kv: -kv[1])[:30]:
         print(f"{dur / n / 1e3:8.3f} ms/step  {shape}")
 
