@@ -55,10 +55,13 @@ def _re_ranking_impl(
 
     # Rank-list membership masks. approx_min_k with recall_target=1.0 is the
     # TPU-native exact top-k (two-pass partial reduction instead of a full
-    # sort — the sorts were ~25% of this graph's device time).
+    # sort — the sorts were ~25% of this graph's device time). Its default
+    # aggregate_to_topk=True returns SORTED neighbors, so the k1/2 list is
+    # a prefix slice of the k1 list — one top-k pass instead of two
+    # (round 2; same trick in parallel/streaming phase 1).
     half = int(round(k1 / 2.0))
     _, nn1 = jax.lax.approx_min_k(orig, k1 + 1, recall_target=1.0)
-    _, nnh = jax.lax.approx_min_k(orig, half + 1, recall_target=1.0)
+    nnh = nn1[:, : half + 1]
     m1 = _membership(nn1, n)
     mh = _membership(nnh, n)
 
@@ -88,7 +91,9 @@ def _re_ranking_impl(
     # Measured on v5e at N=3368: the MXU GEMM beats a gather+mean of the k2
     # rows (TPU gathers are slow) despite the O(N^3) flop count.
     if k2 != 1:
-        _, nn2 = jax.lax.approx_min_k(orig, k2, recall_target=1.0)
+        # k2 <= k1 in every reference config -> prefix of the sorted nn1.
+        nn2 = nn1[:, :k2] if k2 <= k1 + 1 else (
+            jax.lax.approx_min_k(orig, k2, recall_target=1.0)[1])
         a2 = _membership(nn2, n).astype(jnp.float32)
         # HIGHEST: V carries real values (not 0/1 counts like the masks
         # above), so default bf16 MXU passes would cost parity here.

@@ -101,9 +101,13 @@ def _phases12(f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile):
             nn1, nnh, nn2, colmax = carry
             d = dist_chunk(c)
             score = jnp.where(col_valid[None, :], d, jnp.inf)
+            # aggregate_to_topk (default) returns SORTED neighbors, so the
+            # k1/2 and k2 lists are prefix slices — one top-k pass per
+            # chunk instead of three (k2 <= k1 in every reference config).
             _, i1 = jax.lax.approx_min_k(score, k1 + 1, recall_target=1.0)
-            _, ih = jax.lax.approx_min_k(score, half + 1, recall_target=1.0)
-            _, i2 = jax.lax.approx_min_k(score, k2, recall_target=1.0)
+            ih = i1[:, : half + 1]
+            i2 = i1[:, :k2] if k2 <= k1 + 1 else (
+                jax.lax.approx_min_k(score, k2, recall_target=1.0)[1])
             nn1 = jax.lax.dynamic_update_slice(nn1, i1, (c * b, 0))
             nnh = jax.lax.dynamic_update_slice(nnh, ih, (c * b, 0))
             nn2 = jax.lax.dynamic_update_slice(nn2, i2, (c * b, 0))
