@@ -52,9 +52,13 @@ int parse_exif_orientation(const uint8_t* d, unsigned len) {
   };
   if (tlen < 8 || u16(2) != 42) return 1;
   unsigned ifd = u32(4);
-  if (ifd + 2 > tlen) return 1;
+  // ifd is untrusted 32-bit file data: compare without adding to it, or
+  // `ifd + 2` wraps for ifd >= 0xFFFFFFFE and the guard passes an OOB read.
+  if (tlen < 2 || ifd > tlen - 2) return 1;
   unsigned n = u16(ifd);
   for (unsigned i = 0; i < n; ++i) {
+    // ifd <= tlen-2 <= 65531 (APP1 payload cap) and n <= 65535, so this
+    // arithmetic cannot wrap uint32; the bound itself is still required.
     unsigned e = ifd + 2 + i * 12;
     if (e + 12 > tlen) return 1;
     if (u16(e) == 0x0112 && u16(e + 2) == 3) {  // SHORT orientation
@@ -113,10 +117,16 @@ int decode_jpeg(FILE* f, Image* im) {
   const bool cmyk = cinfo.jpeg_color_space == JCS_CMYK ||
                     cinfo.jpeg_color_space == JCS_YCCK;
   cinfo.out_color_space = cmyk ? JCS_CMYK : JCS_RGB;
+  // Only the APP1 marker whose payload starts "Exif\0\0" carries EXIF; a
+  // later non-EXIF APP1 (XMP, which always follows EXIF in real photos)
+  // must not overwrite an orientation already parsed.
   int orientation = 1;
   for (jpeg_saved_marker_ptr m = cinfo.marker_list; m; m = m->next) {
-    if (m->marker == JPEG_APP0 + 1 && m->data_length >= 14)
+    if (m->marker == JPEG_APP0 + 1 && m->data_length >= 14 &&
+        std::memcmp(m->data, "Exif\0\0", 6) == 0) {
       orientation = parse_exif_orientation(m->data, m->data_length);
+      break;
+    }
   }
   jpeg_start_decompress(&cinfo);
   im->w = static_cast<int>(cinfo.output_width);

@@ -21,7 +21,8 @@ import numpy as np
 _TOPK_PAD = 100  # compile one kernel; slice to the requested topk on host
 
 
-@functools.partial(jax.jit, static_argnames=("separate_camera_set", "first_match_break"))
+@functools.partial(
+    jax.jit, static_argnames=("separate_camera_set", "first_match_break", "pad"))
 def _cmc_device(
     distmat,
     query_ids,
@@ -31,6 +32,7 @@ def _cmc_device(
     *,
     separate_camera_set: bool,
     first_match_break: bool,
+    pad: int = _TOPK_PAD,
 ):
     order = jnp.argsort(distmat, axis=1)
     g_ids = gallery_ids[order]
@@ -51,22 +53,22 @@ def _cmc_device(
     if first_match_break:
         big = jnp.float32(distmat.shape[1] + 1)
         first_hit = jnp.min(jnp.where(rel, rank_in_valid, big), axis=1)
-        ks = jnp.arange(1, _TOPK_PAD + 1, dtype=jnp.float32)
+        ks = jnp.arange(1, pad + 1, dtype=jnp.float32)
         hits = (first_hit[:, None] <= ks[None, :]) & has_match[:, None]
         curve = jnp.sum(hits.astype(jnp.float32), axis=0) / n_valid_q
     else:
         # Allshots: the j-th hit of a query lands in bin (rank-1)-(j-1) with
         # weight 1/num_rel; histogram by flat scatter-add, then cumsum.
         bins = (rank_in_valid - cum_rel).astype(jnp.int32)  # 0-indexed bin
-        bins = jnp.where(rel & (bins < _TOPK_PAD), bins, _TOPK_PAD)
+        bins = jnp.where(rel & (bins < pad), bins, pad)
         w = jnp.where(rel, 1.0 / jnp.maximum(num_rel, 1)[:, None], 0.0)
-        hist = jnp.zeros((_TOPK_PAD + 1,), jnp.float32).at[bins.ravel()].add(w.ravel())
-        curve = jnp.cumsum(hist[:_TOPK_PAD]) / n_valid_q
+        hist = jnp.zeros((pad + 1,), jnp.float32).at[bins.ravel()].add(w.ravel())
+        curve = jnp.cumsum(hist[:pad]) / n_valid_q
     return curve, jnp.sum(has_match)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("separate_camera_set", "repeats"))
+    jax.jit, static_argnames=("separate_camera_set", "repeats", "pad"))
 def _cmc_sgs_device(
     distmat,
     query_ids,
@@ -78,6 +80,7 @@ def _cmc_sgs_device(
     *,
     separate_camera_set: bool,
     repeats: int,
+    pad: int = _TOPK_PAD,
 ):
     """cuhk03 single-gallery-shot protocol, fully on device.
 
@@ -85,10 +88,11 @@ def _cmc_sgs_device(
     (uniform within the group — realized as a per-group argmin over iid
     random priorities, ties broken by sorted position via a second
     group-min), then score the single sampled match's rank within the
-    sampled subsequence. Since sampling keeps exactly one instance per id
-    there is exactly one match, so allshots and first_match_break
-    coincide — the reference's numpy loop ([reid/evaluation_metrics/
-    ranking.py] cmc) reduces to the same histogram.
+    sampled subsequence. Sampling keeps exactly one instance per id, so
+    each repeat's *delta* curve is the same step function whether scored
+    allshots or first_match_break; only the cross-repeat normalization
+    differs (the oracle adds 1/repeats per repeat for allshots but a full
+    1 under first_match_break — ``cmc()`` applies that scaling).
     """
     q, g = distmat.shape
     order = jnp.argsort(distmat, axis=1)
@@ -106,7 +110,7 @@ def _cmc_sgs_device(
     rows = jnp.arange(q)[:, None]
     cols = jnp.broadcast_to(jnp.arange(g)[None, :], (q, g))
     big_u = jnp.uint32(0xFFFFFFFF)
-    ks = jnp.arange(1, _TOPK_PAD + 1, dtype=jnp.float32)
+    ks = jnp.arange(1, pad + 1, dtype=jnp.float32)
 
     def one_repeat(key_r):
         u = jax.random.bits(key_r, (q, g), jnp.uint32)
@@ -145,10 +149,14 @@ def cmc(
     protocol = ``first_match_break=True``; cuhk03 = ``separate_camera_set``
     + ``single_gallery_shot`` (randomized — pass ``rng`` to pin the seed;
     device sampling is counter-based, statistically equivalent to the
-    reference's numpy draw, not draw-for-draw identical)."""
-    if topk > _TOPK_PAD:
-        raise ValueError(f"topk={topk} exceeds the compiled pad {_TOPK_PAD}")
+    reference's numpy draw, not draw-for-draw identical). The oracle quirk
+    that ``single_gallery_shot + first_match_break`` accumulates a full +1
+    per repeat (curve sums toward ``repeats``, not 1) is reproduced."""
+    # Round the compiled pad up in blocks of _TOPK_PAD so arbitrary topk is
+    # accepted (oracle-compatible) without a recompile per distinct value.
+    pad = max(_TOPK_PAD, -(-int(topk) // _TOPK_PAD) * _TOPK_PAD)
     if single_gallery_shot:
+        repeats = 10
         g_ids = np.asarray(gallery_ids)
         _, codes = np.unique(g_ids, return_inverse=True)
         seed = int((rng or np.random.default_rng(0)).integers(2**31))
@@ -158,17 +166,21 @@ def cmc(
             jnp.asarray(query_cams), jnp.asarray(gallery_cams),
             jnp.asarray(codes.astype(np.int32)),
             jax.random.PRNGKey(seed),
-            separate_camera_set=separate_camera_set, repeats=10,
+            separate_camera_set=separate_camera_set, repeats=repeats, pad=pad,
         )
         if int(n_valid) == 0:
             raise RuntimeError("No valid query")
-        return np.asarray(curve)[:topk]
+        curve = np.asarray(curve)[:topk]
+        # Oracle semantics: allshots-sgs adds 1/repeats per repeat (mean);
+        # first_match_break adds a full 1 per repeat (sum over repeats).
+        return curve * repeats if first_match_break else curve
     curve, n_valid = _cmc_device(
         jnp.asarray(distmat),
         jnp.asarray(query_ids), jnp.asarray(gallery_ids),
         jnp.asarray(query_cams), jnp.asarray(gallery_cams),
         separate_camera_set=separate_camera_set,
         first_match_break=first_match_break,
+        pad=pad,
     )
     if int(n_valid) == 0:
         raise RuntimeError("No valid query")

@@ -61,6 +61,33 @@ class TestRankingMetrics:
         assert curve.shape == (10,)
         assert np.all(np.diff(curve) >= -1e-9) and curve[-1] <= 1.0
 
+    def test_cmc_sgs_first_match_break_scales_by_repeats(self):
+        from ssg_tpu.evaluation_metrics import cmc
+
+        # Oracle quirk (oracle/ranking.py:101-104): under sgs+fmb each of
+        # the 10 repeats adds a full +1, so the curve is exactly repeats x
+        # the allshots-sgs curve (same draws when the seed is pinned).
+        d, qi, gi, qc, gc = _toy_eval(seed=3)
+        kw = dict(topk=40, single_gallery_shot=True)
+        allshots = cmc(d, qi, gi, qc, gc, first_match_break=False,
+                       rng=np.random.default_rng(7), **kw)
+        fmb = cmc(d, qi, gi, qc, gc, first_match_break=True,
+                  rng=np.random.default_rng(7), **kw)
+        np.testing.assert_allclose(fmb, 10.0 * allshots, atol=1e-5)
+        # Every valid query's single sampled match lands within topk=40
+        # here, so the fmb curve saturates at repeats, not 1.
+        assert fmb[-1] == pytest.approx(10.0)
+
+    def test_cmc_topk_above_pad_matches_oracle(self):
+        from ssg_tpu.evaluation_metrics import cmc
+
+        d, qi, gi, qc, gc = _toy_eval(seed=4, g=120)
+        kw = dict(topk=115, first_match_break=False)
+        got = cmc(d, qi, gi, qc, gc, **kw)
+        want = cmc_np(d, qi, gi, qc, gc, **kw)
+        assert got.shape == (115,)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
     def test_accuracy(self):
         from ssg_tpu.evaluation_metrics import accuracy
 

@@ -165,6 +165,66 @@ def test_exif_orientation_all_eight(tmp_path):
             f"orientation {orient}: max {err.max()} mean {err.mean():.2f}")
 
 
+def _splice_app1(path: str, payload: bytes) -> None:
+    """Insert an extra APP1 segment right after the existing EXIF APP1."""
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:2] == b"\xff\xd8"
+    pos = 2
+    while pos < len(data):
+        assert data[pos] == 0xFF
+        marker = data[pos + 1]
+        if marker == 0xDA:  # SOS: entropy data follows; insert before it
+            break
+        ln = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        pos += 2 + ln
+        if marker == 0xE1:  # first APP1 = EXIF; insert after it
+            break
+    seg = b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
+    with open(path, "wb") as f:
+        f.write(data[:pos] + seg + data[pos:])
+
+
+def test_exif_survives_trailing_xmp_app1(tmp_path):
+    """A non-EXIF APP1 (XMP, which real photos place AFTER EXIF) must not
+    reset an already-parsed orientation to identity (ADVICE r2 medium)."""
+    from PIL import ImageOps
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 8, size=(6, 4, 3)).repeat(16, 0).repeat(16, 1)
+    arr = (base * 32 + 16).astype(np.uint8)
+    p = os.path.join(tmp_path, "xmp.jpg")
+    img = PIL.fromarray(arr)
+    exif = img.getexif()
+    exif[0x0112] = 6  # rotate 90 CW
+    img.save(p, quality=95, exif=exif)
+    _splice_app1(p, b"http://ns.adobe.com/xap/1.0/\x00" + b"<x:xmpmeta/>" * 4)
+
+    pil_img = ImageOps.exif_transpose(PIL.open(p)).convert("RGB")
+    want = np.asarray(pil_img)
+    got = native_loader.decode_resize(p, want.shape[0], want.shape[1])
+    err = np.abs(got.astype(int) - want.astype(int))
+    assert err.max() <= 24 and err.mean() < 3, (
+        f"max {err.max()} mean {err.mean():.2f}")
+
+
+def test_exif_huge_ifd_offset_is_identity(tmp_path):
+    """A crafted EXIF whose IFD0 offset is 0xFFFFFFFE must not wrap the
+    bounds check into an OOB read (ADVICE r2 high); decode falls back to
+    identity orientation."""
+    rng = np.random.default_rng(4)
+    arr = rng.integers(0, 256, size=(32, 24, 3), dtype=np.uint8)
+    p = os.path.join(tmp_path, "evil.jpg")
+    PIL.fromarray(arr).save(p, quality=95)
+    # "Exif\0\0" + little-endian TIFF header with IFD offset 0xFFFFFFFE.
+    evil = b"Exif\x00\x00" + b"II" + b"\x2a\x00" + b"\xfe\xff\xff\xff"
+    _splice_app1(p, evil)
+
+    want = np.asarray(PIL.open(p).convert("RGB"))
+    got = native_loader.decode_resize(p, want.shape[0], want.shape[1])
+    assert np.abs(got.astype(int) - want.astype(int)).mean() < 1.0
+
+
 def test_cmyk_jpeg_decodes_like_pil(tmp_path):
     """Adobe CMYK JPEGs decode to RGB (4-channel convert in image.cc)."""
     rng = np.random.default_rng(2)
