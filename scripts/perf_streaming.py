@@ -3,7 +3,12 @@
 
 The dense chain needs ~6 fp32 N^2 buffers; the streaming path holds one
 V stripe + bool state, so a single 16 GB chip clusters N it couldn't hold
-densely. Usage: perf_streaming.py [N] [chunk].
+densely. Usage: perf_streaming.py [N] [chunk] [band_cap] [trace_dir].
+
+band_cap=0 forces the dedicated adjacency sweep (the pre-r3 3-sweep
+program) — the A/B partner of the fused fine-sweep emission (default 256).
+With trace_dir set, the steady-state run is captured with jax.profiler
+for per-phase device-time attribution (VERDICT r2 next #3).
 """
 
 import sys
@@ -23,6 +28,8 @@ def main():
     enable_compilation_cache()
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    band_cap = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    trace_dir = sys.argv[4] if len(sys.argv) > 4 else None
     k = jax.random.PRNGKey(0)
     ids = max(n // 12, 2)
     centers = jax.random.normal(jax.random.fold_in(k, 1), (ids, 2048))
@@ -32,7 +39,8 @@ def main():
     feats = (feats / jnp.linalg.norm(feats, axis=1, keepdims=True)).astype(
         jnp.float32)
     feats.block_until_ready()
-    print(f"N={n} ids={ids} chunk={chunk}: features staged", flush=True)
+    print(f"N={n} ids={ids} chunk={chunk} band_cap={band_cap}: "
+          f"features staged", flush=True)
 
     # Timing discipline (ROADMAP "Measurement discipline"):
     # block_until_ready does not reliably block through the axon tunnel —
@@ -40,20 +48,27 @@ def main():
     import numpy as np
 
     mesh = make_mesh(1)
+    kw = dict(k1=20, k2=6, rho=1.6e-3, min_samples=4, chunk=chunk,
+              band_cap=band_cap)
+    diag = {}
     t0 = time.perf_counter()
-    labels, n_clusters, eps = streaming_cluster(
-        feats, mesh, k1=20, k2=6, rho=1.6e-3, min_samples=4, chunk=chunk)
+    labels, n_clusters, eps = streaming_cluster(feats, mesh, diag=diag, **kw)
     labels = np.asarray(labels)
     t_first = time.perf_counter() - t0
     print(f"first call (incl. compile) {t_first:.1f}s: "
-          f"{int(n_clusters)} clusters, eps={float(eps):.4f}", flush=True)
+          f"{int(n_clusters)} clusters, eps={float(eps):.4f}, "
+          f"band_fallback={diag['band_fallback']}", flush=True)
 
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
     t0 = time.perf_counter()
-    labels, n_clusters, eps = streaming_cluster(
-        feats, mesh, k1=20, k2=6, rho=1.6e-3, min_samples=4, chunk=chunk)
+    labels, n_clusters, eps = streaming_cluster(feats, mesh, **kw)
     labels = np.asarray(labels)
-    print(f"steady state {time.perf_counter() - t0:.2f}s "
-          f"({int(n_clusters)} clusters)", flush=True)
+    dt = time.perf_counter() - t0
+    if trace_dir:
+        jax.profiler.stop_trace()
+        print(f"trace written to {trace_dir}", flush=True)
+    print(f"steady state {dt:.2f}s ({int(n_clusters)} clusters)", flush=True)
 
 
 if __name__ == "__main__":

@@ -14,15 +14,23 @@ state, recomputing distance chunks from features on the fly — the
   phase 3  eps:                       two histogram sweeps over the final
            distance chunks (coarse 2^13 bins, then 2^13 bins inside the
            selected bin — the fine bin is narrower than one fp32 ulp, so
-           the k-th smallest value is recovered EXACTLY; a third cheap
-           sweep turns it into the reference's mean-of-k-smallest).
-  phase 4  DBSCAN:                    adjacency stripe (final <= eps, bool)
-           + distributed min-label propagation (sklearn-identical labels).
+           the k-th smallest value is recovered EXACTLY, and the
+           mean-of-k-smallest comes out in closed form, no extra sweep).
+  phase 4  DBSCAN:                    adjacency stripe (final <= eps, bit-
+           packed) + distributed min-label propagation (sklearn-identical
+           labels). The adjacency is EMITTED DURING the fine eps sweep:
+           the coarse histogram bounds eps to one bin width, so the fine
+           sweep marks pairs <= eps_lo as definitely in, drops pairs
+           > eps_hi, and keeps the narrow band between as per-row
+           candidates resolved once eps is exact — a dedicated adjacency
+           sweep runs only as a fallback when a row's band overflows
+           (degenerate/tied distributions).
 
 Per-chip HBM at N=126k, P=16: feats 1 GB + V fp32 4 GB + rh/r bool 2 GB +
 adjacency bool 1 GB + chunk workspace — the MSMT17 config on a v5e-16;
 P=8 covers N ≈ 64k. Compute per sweep is N^2/P-chunked ring work; the
-Jaccard L1 runs 3 sweeps (eps x2 + adjacency).
+Jaccard L1 runs 2 sweeps (eps coarse + fine-with-adjacency) on the fast
+path, 3 on the degenerate fallback.
 """
 
 from __future__ import annotations
@@ -81,169 +89,175 @@ def _phases12(f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile):
     y2 = jnp.sum(f_all * f_all, axis=1)  # (npad,)
     col_valid = jnp.arange(npad, dtype=jnp.int32) < n
 
-    if True:  # preserved indentation block (phases 1-2 body)
-        def dist_chunk(c):
-            """Squared-Euclidean distances of my chunk c rows vs all."""
-            fc = jax.lax.dynamic_slice(f_local, (c * b, 0),
-                                       (b, f_local.shape[1]))
-            x2 = jnp.sum(fc * fc, axis=1, keepdims=True)
-            d = x2 + y2[None, :] - 2.0 * jnp.dot(
-                fc, f_all.T, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            return jnp.maximum(d, 0.0)
+    def dist_chunk(c):
+        """Squared-Euclidean distances of my chunk c rows vs all."""
+        fc = jax.lax.dynamic_slice(f_local, (c * b, 0),
+                                   (b, f_local.shape[1]))
+        x2 = jnp.sum(fc * fc, axis=1, keepdims=True)
+        d = x2 + y2[None, :] - 2.0 * jnp.dot(
+            fc, f_all.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jnp.maximum(d, 0.0)
 
-        def row_ids(c):
-            return row0_global + c * b + jnp.arange(b, dtype=jnp.int32)
+    def row_ids(c):
+        return row0_global + c * b + jnp.arange(b, dtype=jnp.int32)
 
-        # ---- phase 1: rank lists + column max -------------------------
-        def p1(c, carry):
-            nn1, nnh, nn2, colmax = carry
-            d = dist_chunk(c)
-            score = jnp.where(col_valid[None, :], d, jnp.inf)
-            # aggregate_to_topk (default) returns SORTED neighbors, so the
-            # k1/2 and k2 lists are prefix slices — one top-k pass per
-            # chunk instead of three (k2 <= k1 in every reference config).
-            _, i1 = jax.lax.approx_min_k(score, k1 + 1, recall_target=1.0)
-            ih = i1[:, : half + 1]
-            i2 = i1[:, :k2] if k2 <= k1 + 1 else (
-                jax.lax.approx_min_k(score, k2, recall_target=1.0)[1])
-            nn1 = jax.lax.dynamic_update_slice(nn1, i1, (c * b, 0))
-            nnh = jax.lax.dynamic_update_slice(nnh, ih, (c * b, 0))
-            nn2 = jax.lax.dynamic_update_slice(nn2, i2, (c * b, 0))
-            row_ok = row_ids(c) < n
-            colmax = jnp.maximum(
-                colmax, jnp.max(jnp.where(row_ok[:, None], d, -jnp.inf), 0)
-            )
-            return nn1, nnh, nn2, colmax
+    # ---- phase 1: rank lists + column max -------------------------
+    def p1(c, carry):
+        nn1, nnh, nn2, colmax = carry
+        d = dist_chunk(c)
+        score = jnp.where(col_valid[None, :], d, jnp.inf)
+        # aggregate_to_topk (default) returns SORTED neighbors, so the
+        # k1/2 and k2 lists are prefix slices — one top-k pass per
+        # chunk instead of three (k2 <= k1 in every reference config).
+        _, i1 = jax.lax.approx_min_k(score, k1 + 1, recall_target=1.0)
+        ih = i1[:, : half + 1]
+        i2 = i1[:, :k2] if k2 <= k1 + 1 else (
+            jax.lax.approx_min_k(score, k2, recall_target=1.0)[1])
+        nn1 = jax.lax.dynamic_update_slice(nn1, i1, (c * b, 0))
+        nnh = jax.lax.dynamic_update_slice(nnh, ih, (c * b, 0))
+        nn2 = jax.lax.dynamic_update_slice(nn2, i2, (c * b, 0))
+        row_ok = row_ids(c) < n
+        colmax = jnp.maximum(
+            colmax, jnp.max(jnp.where(row_ok[:, None], d, -jnp.inf), 0)
+        )
+        return nn1, nnh, nn2, colmax
 
-        nn1 = jnp.zeros((r, k1 + 1), jnp.int32)
-        nnh = jnp.zeros((r, half + 1), jnp.int32)
-        nn2 = jnp.zeros((r, k2), jnp.int32)
-        colmax0 = jnp.full((npad,), -jnp.inf, jnp.float32)
+    nn1 = jnp.zeros((r, k1 + 1), jnp.int32)
+    nnh = jnp.zeros((r, half + 1), jnp.int32)
+    nn2 = jnp.zeros((r, k2), jnp.int32)
+    colmax0 = jnp.full((npad,), -jnp.inf, jnp.float32)
+    # named_scope per phase: the whole pipeline compiles to ONE program, so
+    # device-trace attribution (scripts/perf_streaming_trace.py) groups op
+    # time by these scope prefixes in the HLO metadata.
+    with jax.named_scope("s_p1_ranklists"):
         nn1, nnh, nn2, colmax_l = jax.lax.fori_loop(
             0, n_chunks, p1, (nn1, nnh, nn2, colmax0)
         )
-        colmax = jnp.maximum(jax.lax.pmax(colmax_l, "data"), 1e-12)
-        nn1_all = jax.lax.all_gather(nn1, "data", tiled=True)  # (npad, k1+1)
-        nnh_all = jax.lax.all_gather(nnh, "data", tiled=True)
+    colmax = jnp.maximum(jax.lax.pmax(colmax_l, "data"), 1e-12)
+    nn1_all = jax.lax.all_gather(nn1, "data", tiled=True)  # (npad, k1+1)
+    nnh_all = jax.lax.all_gather(nnh, "data", tiled=True)
 
-        # rh bool stripe, stored in column blocks (the ring operand of the
-        # expansion GEMMs; its per-block bf16 casts stay under the buffer
-        # limit even at the single-chip ceiling).
-        def blocks(x):
-            return tuple(x[:, i * cb:(i + 1) * cb] for i in range(n_vblk))
+    # rh bool stripe, stored in column blocks (the ring operand of the
+    # expansion GEMMs; its per-block bf16 casts stay under the buffer
+    # limit even at the single-chip ceiling).
+    def blocks(x):
+        return tuple(x[:, i * cb:(i + 1) * cb] for i in range(n_vblk))
 
-        def build_rh(c, acc):
-            m = _recip_chunk(nnh_all, row0_global + c * b, b, npad)
-            return tuple(
-                jax.lax.dynamic_update_slice(a, mb, (c * b, 0))
-                for a, mb in zip(acc, blocks(m))
-            )
+    def build_rh(c, acc):
+        m = _recip_chunk(nnh_all, row0_global + c * b, b, npad)
+        return tuple(
+            jax.lax.dynamic_update_slice(a, mb, (c * b, 0))
+            for a, mb in zip(acc, blocks(m))
+        )
 
+    with jax.named_scope("s_p1_recip"):
         rh_blks = jax.lax.fori_loop(
             0, n_chunks, build_rh,
             tuple(jnp.zeros((r, cb), bool) for _ in range(n_vblk)),
         )
-        row_valid = (row0_global + jnp.arange(r, dtype=jnp.int32)) < n
-        rh_blks = tuple(
-            blk & row_valid[:, None] & blocks(col_valid[None, :])[i]
-            for i, blk in enumerate(rh_blks)
+    row_valid = (row0_global + jnp.arange(r, dtype=jnp.int32)) < n
+    rh_blks = tuple(
+        blk & row_valid[:, None] & blocks(col_valid[None, :])[i]
+        for i, blk in enumerate(rh_blks)
+    )
+    sz = jax.lax.all_gather(
+        sum(jnp.sum(blk.astype(jnp.float32), axis=1) for blk in rh_blks),
+        "data", tiled=True,
+    )  # |Rh(c)| for all c
+
+    # ---- phase 2: V stripe (column blocks) ---------------------------
+    row_scale = jax.lax.dynamic_slice(colmax, (row0_global,), (r,))
+
+    def gemm_t(a, bb):
+        return jnp.dot(a, bb.T, preferred_element_type=jnp.float32)
+
+    def build_v(c, v_acc):
+        rows0 = c * b
+        d = dist_chunk(c)
+        orig = d / jax.lax.dynamic_slice(row_scale, (rows0,), (b,))[:, None]
+        r_chunk = _recip_chunk(nn1_all, row0_global + rows0, b, npad)
+        r_chunk = r_chunk & col_valid[None, :]
+        r_chunk_blks = blocks(r_chunk)
+        # overlap[i, c] = sum_k r[i,k] rh[c,k]: additive over col blocks.
+        overlap = sum(
+            ring_pairwise(rb.astype(jnp.bfloat16),
+                          rhb.astype(jnp.bfloat16), gemm_t)
+            for rb, rhb in zip(r_chunk_blks, rh_blks)
         )
-        sz = jax.lax.all_gather(
-            sum(jnp.sum(blk.astype(jnp.float32), axis=1) for blk in rh_blks),
-            "data", tiled=True,
-        )  # |Rh(c)| for all c
-
-        # ---- phase 2: V stripe (column blocks) ---------------------------
-        row_scale = jax.lax.dynamic_slice(colmax, (row0_global,), (r,))
-
-        def gemm_t(a, bb):
-            return jnp.dot(a, bb.T, preferred_element_type=jnp.float32)
-
-        def build_v(c, v_acc):
-            rows0 = c * b
-            d = dist_chunk(c)
-            orig = d / jax.lax.dynamic_slice(row_scale, (rows0,), (b,))[:, None]
-            r_chunk = _recip_chunk(nn1_all, row0_global + rows0, b, npad)
-            r_chunk = r_chunk & col_valid[None, :]
-            r_chunk_blks = blocks(r_chunk)
-            # overlap[i, c] = sum_k r[i,k] rh[c,k]: additive over col blocks.
-            overlap = sum(
-                ring_pairwise(rb.astype(jnp.bfloat16),
-                              rhb.astype(jnp.bfloat16), gemm_t)
-                for rb, rhb in zip(r_chunk_blks, rh_blks)
+        qualify = (r_chunk & (overlap > (2.0 / 3.0) * sz[None, :])).astype(
+            jnp.bfloat16
+        )
+        # expansion[:, block] = qualify @ rh[:, block] per column block.
+        expanded_blks = tuple(
+            r_chunk_blks[i] | (
+                ring_contract(qualify, rhb.astype(jnp.bfloat16)) > 0.0
             )
-            qualify = (r_chunk & (overlap > (2.0 / 3.0) * sz[None, :])).astype(
-                jnp.bfloat16
-            )
-            # expansion[:, block] = qualify @ rh[:, block] per column block.
-            expanded_blks = tuple(
-                r_chunk_blks[i] | (
-                    ring_contract(qualify, rhb.astype(jnp.bfloat16)) > 0.0
-                )
-                for i, rhb in enumerate(rh_blks)
-            )
-            expanded = jnp.concatenate(expanded_blks, axis=1)
-            w = jnp.where(expanded, jnp.exp(-orig), 0.0)
-            v = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-30)
-            return tuple(
-                jax.lax.dynamic_update_slice(a, vb, (rows0, 0))
-                for a, vb in zip(v_acc, blocks(v))
-            )
+            for i, rhb in enumerate(rh_blks)
+        )
+        expanded = jnp.concatenate(expanded_blks, axis=1)
+        w = jnp.where(expanded, jnp.exp(-orig), 0.0)
+        v = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-30)
+        return tuple(
+            jax.lax.dynamic_update_slice(a, vb, (rows0, 0))
+            for a, vb in zip(v_acc, blocks(v))
+        )
 
+    with jax.named_scope("s_p2_vstripe"):
         v_blks = jax.lax.fori_loop(
             0, n_chunks, build_v,
             tuple(jnp.zeros((r, cb), jnp.float32) for _ in range(n_vblk)),
         )
 
-        # Query expansion: one ring pass per chunk against the V stripes.
-        # (nn2 indices are k2-NN; a one-hot GEMM against row-sharded V.)
-        def build_vqe(c, acc):
-            rows0 = c * b
-            i2 = jax.lax.dynamic_slice(nn2, (rows0, 0), (b, k2))
-            a2 = _member_chunk(i2, npad).astype(jnp.float32)
-            return tuple(
-                jax.lax.dynamic_update_slice(
-                    a, ring_contract(a2, vb) / float(k2), (rows0, 0)
-                )
-                for a, vb in zip(acc, v_blks)
+    # Query expansion: one ring pass per chunk against the V stripes.
+    # (nn2 indices are k2-NN; a one-hot GEMM against row-sharded V.)
+    def build_vqe(c, acc):
+        rows0 = c * b
+        i2 = jax.lax.dynamic_slice(nn2, (rows0, 0), (b, k2))
+        a2 = _member_chunk(i2, npad).astype(jnp.float32)
+        return tuple(
+            jax.lax.dynamic_update_slice(
+                a, ring_contract(a2, vb) / float(k2), (rows0, 0)
             )
+            for a, vb in zip(acc, v_blks)
+        )
 
-        if k2 != 1:
+    if k2 != 1:
+        with jax.named_scope("s_p2_qe"):
             v_blks = jax.lax.fori_loop(
                 0, n_chunks, build_vqe,
                 tuple(jnp.zeros((r, cb), jnp.float32) for _ in range(n_vblk)),
             )
-        s_all = jax.lax.all_gather(
-            sum(jnp.sum(vb, axis=1) for vb in v_blks), "data", tiled=True
+    s_all = jax.lax.all_gather(
+        sum(jnp.sum(vb, axis=1) for vb in v_blks), "data", tiled=True
+    )
+
+    def final_chunk(c):
+        """(b, npad) final re-ranked distances of my chunk c rows."""
+        rows0 = c * b
+        d = dist_chunk(c)
+        orig = d / jax.lax.dynamic_slice(row_scale, (rows0,), (b,))[:, None]
+        vc_blks = tuple(
+            jax.lax.dynamic_slice(vb, (rows0, 0), (b, cb)) for vb in v_blks
+        )
+        # ||V_i - V_j||_1 is additive over column blocks.
+        l1 = sum(
+            ring_pairwise(vcb, vb, l1_tile)
+            for vcb, vb in zip(vc_blks, v_blks)
+        )
+        s_mine = sum(jnp.sum(vcb, axis=1) for vcb in vc_blks)
+        min_sum = 0.5 * (s_mine[:, None] + s_all[None, :] - l1)
+        jaccard = 1.0 - min_sum / (2.0 - min_sum)
+        return jnp.maximum(
+            jaccard * (1.0 - lambda_value) + orig * lambda_value, 0.0
         )
 
-        def final_chunk(c):
-            """(b, npad) final re-ranked distances of my chunk c rows."""
-            rows0 = c * b
-            d = dist_chunk(c)
-            orig = d / jax.lax.dynamic_slice(row_scale, (rows0,), (b,))[:, None]
-            vc_blks = tuple(
-                jax.lax.dynamic_slice(vb, (rows0, 0), (b, cb)) for vb in v_blks
-            )
-            # ||V_i - V_j||_1 is additive over column blocks.
-            l1 = sum(
-                ring_pairwise(vcb, vb, l1_tile)
-                for vcb, vb in zip(vc_blks, v_blks)
-            )
-            s_mine = sum(jnp.sum(vcb, axis=1) for vcb in vc_blks)
-            min_sum = 0.5 * (s_mine[:, None] + s_all[None, :] - l1)
-            jaccard = 1.0 - min_sum / (2.0 - min_sum)
-            return jnp.maximum(
-                jaccard * (1.0 - lambda_value) + orig * lambda_value, 0.0
-            )
-
-        def chunk_valid(c):
-            rows = row0_global + c * b + jnp.arange(b, dtype=jnp.int32)
-            cols = jnp.arange(npad, dtype=jnp.int32)
-            return (cols[None, :] > rows[:, None]) & (rows[:, None] < n) & \
-                col_valid[None, :]
+    def chunk_valid(c):
+        rows = row0_global + c * b + jnp.arange(b, dtype=jnp.int32)
+        cols = jnp.arange(npad, dtype=jnp.int32)
+        return (cols[None, :] > rows[:, None]) & (rows[:, None] < n) & \
+            col_valid[None, :]
 
     return final_chunk, chunk_valid, row0_global, col_valid, npad, r
 
@@ -252,10 +266,11 @@ def _phases12(f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile):
     jax.jit,
     static_argnames=("mesh", "k1", "k2", "lambda_value",
                      "min_samples", "chunk", "l1_impl", "n_vblk",
-                     "with_final"),
+                     "with_final", "band_cap"),
 )
 def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
-                    chunk, l1_impl, n_vblk=1, with_final=False):
+                    chunk, l1_impl, n_vblk=1, with_final=False,
+                    band_cap=256):
     # rho is traced (like n): per-iteration rho scheduling reuses the
     # compiled graph.
     npad = f.shape[0]
@@ -306,10 +321,11 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
             hist = hist.at[flat].add(1)
             return hist, total
 
-        hist0, total = jax.lax.fori_loop(
-            0, n_chunks, sweep_coarse,
-            (jnp.zeros((_BINS + 1,), jnp.int32), jnp.int32(0)),
-        )
+        with jax.named_scope("s_p3_coarse"):
+            hist0, total = jax.lax.fori_loop(
+                0, n_chunks, sweep_coarse,
+                (jnp.zeros((_BINS + 1,), jnp.int32), jnp.int32(0)),
+            )
         hist0 = jax.lax.psum(hist0[:_BINS], "data")
         total = jax.lax.psum(total, "data")
         k = jnp.maximum(
@@ -323,8 +339,40 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
         def fidx(fd):
             return jnp.clip(((fd - lo1) / w1).astype(jnp.int32), 0, _BINS - 1)
 
+        # ---- eps bounds from the coarse histogram alone -----------------
+        # eps = (sum of the k smallest)/k, and every one of those k values
+        # sits in a known coarse bin, so bin edges bound the mean to within
+        # one bin width. The extra -+w0 margin absorbs all fp rounding in
+        # both the bin classification (fd/w0) and this bound arithmetic.
+        # The fine sweep uses [eps_lo, eps_hi] to emit the phase-4
+        # adjacency early: pairs <= eps_lo are definitely in, pairs
+        # > eps_hi definitely out, and the narrow band between is kept as
+        # per-row candidates resolved once eps is exact — saving the
+        # dedicated adjacency sweep (one of three full N^2 re-rank
+        # recomputes; ROADMAP r2 item 3 / VERDICT r2 next #2).
+        kf = k.astype(jnp.float32)
+        below0 = jnp.where(bin0 > 0, cum0[jnp.maximum(bin0 - 1, 0)], 0)
+        bins_lo = jnp.arange(_BINS, dtype=jnp.float32) * w0
+        cnt_below = jnp.where(jnp.arange(_BINS) < bin0,
+                              hist0.astype(jnp.float32), 0.0)
+        rem = (k - below0).astype(jnp.float32)
+        eps_lo = (jnp.sum(cnt_below * bins_lo)
+                  + rem * bin0.astype(jnp.float32) * w0) / kf - w0
+        eps_hi = (jnp.sum(cnt_below * (bins_lo + w0))
+                  + rem * (bin0.astype(jnp.float32) + 1.0) * w0) / kf + w0
+
+        from ssg_tpu.ops.bits import pack_bits, popcount, unpack_bits
+        from ssg_tpu.parallel.ring import stripe_transpose_packed
+
+        nbytes = npad // 8
+        cap = band_cap
+        rows_c = jnp.arange(b, dtype=jnp.int32)[:, None]
+        cols_c = jnp.broadcast_to(
+            jnp.arange(npad, dtype=jnp.int32)[None, :], (b, npad))
+
         def sweep_fine(c, carry):
-            cnt_lo, sum_lo, fhist, fsum, fmin = carry
+            (cnt_lo, sum_lo, fhist, fsum, fmin,
+             adj_acc, cc_acc, cf_acc, ovf) = carry
             fd = final_chunk(c)
             valid = chunk_valid(c) & (fd != 0.0)
             ci = cidx(fd)
@@ -337,15 +385,45 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
             fhist = fhist.at[flat].add(1)
             fsum = fsum.at[flat].add(jnp.where(inbin.ravel(), fdr, 0.0))
             fmin = fmin.at[flat].min(jnp.where(inbin.ravel(), fdr, jnp.inf))
-            return cnt_lo, sum_lo, fhist, fsum, fmin
+            if cap > 0:
+                # Early adjacency emission (full mask, not the upper
+                # triangle: phase 4 consumes both triangles before
+                # symmetrization).
+                rows = row0_global + c * b + jnp.arange(b, dtype=jnp.int32)
+                ok = (rows[:, None] < n) & col_valid[None, :]
+                adj_acc = jax.lax.dynamic_update_slice(
+                    adj_acc, pack_bits((fd <= eps_lo) & ok), (c * b, 0))
+                band = ok & (fd > eps_lo) & (fd <= eps_hi)
+                ovf = ovf | jnp.any(jnp.sum(band, axis=1) > cap)
+                # Compact each row's band pairs into fixed slots (cumsum
+                # positions; slot `cap` is the dump column for everything
+                # masked or overflowing — sliced off below).
+                pos = jnp.cumsum(band.astype(jnp.int32), axis=1) - 1
+                slot = jnp.where(band & (pos < cap), pos, cap)
+                cc = jnp.full((b, cap + 1), npad, jnp.int32) \
+                    .at[rows_c, slot].set(cols_c)[:, :cap]
+                cf = jnp.full((b, cap + 1), jnp.inf, jnp.float32) \
+                    .at[rows_c, slot].set(fd)[:, :cap]
+                cc_acc = jax.lax.dynamic_update_slice(cc_acc, cc, (c * b, 0))
+                cf_acc = jax.lax.dynamic_update_slice(cf_acc, cf, (c * b, 0))
+            return (cnt_lo, sum_lo, fhist, fsum, fmin,
+                    adj_acc, cc_acc, cf_acc, ovf)
 
-        cnt_lo, sum_lo, fhist, fsum, fmin = jax.lax.fori_loop(
-            0, n_chunks, sweep_fine,
-            (jnp.int32(0), jnp.float32(0.0),
-             jnp.zeros((_BINS + 1,), jnp.int32),
-             jnp.zeros((_BINS + 1,), jnp.float32),
-             jnp.full((_BINS + 1,), jnp.inf, jnp.float32)),
-        )
+        with jax.named_scope("s_p3_fine_adj"):
+            (cnt_lo, sum_lo, fhist, fsum, fmin,
+             adj_in, cand_col, cand_fd, band_ovf) = jax.lax.fori_loop(
+                0, n_chunks, sweep_fine,
+                (jnp.int32(0), jnp.float32(0.0),
+                 jnp.zeros((_BINS + 1,), jnp.int32),
+                 jnp.zeros((_BINS + 1,), jnp.float32),
+                 jnp.full((_BINS + 1,), jnp.inf, jnp.float32),
+                 jnp.zeros((r, nbytes), jnp.uint8),
+                 jnp.full((r, max(cap, 1)), npad, jnp.int32),
+                 jnp.full((r, max(cap, 1)), jnp.inf, jnp.float32),
+                 # cap=0 statically disables the fused emission: the
+                 # fallback sweep always runs (escape hatch + test knob).
+                 jnp.bool_(cap == 0)),
+            )
         cnt_lo = jax.lax.psum(cnt_lo, "data")
         sum_lo = jax.lax.psum(sum_lo, "data")
         fhist = jax.lax.psum(fhist[:_BINS], "data")
@@ -372,24 +450,48 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
         # packing 8 columns/byte (ops/bits.py) shrinks it 8x — consumers
         # unpack (b, npad) row chunks on the fly, so peak bool memory
         # stays at chunk scale.
-        from ssg_tpu.ops.bits import pack_bits, popcount, unpack_bits
-        from ssg_tpu.parallel.ring import stripe_transpose_packed
+        #
+        # Fast path: the fine sweep already emitted the definite adjacency
+        # (fd <= eps_lo) plus per-row band candidates; resolving the
+        # candidates against the exact eps and OR-ing their bits in gives
+        # the same stripe as a dedicated sweep without recomputing any
+        # distance chunk. The dedicated sweep survives only as the
+        # lax.cond fallback for rows that overflowed the band capacity
+        # (degenerate/tied distance distributions); the predicate is made
+        # mesh-uniform with pmax so every device takes the same branch and
+        # the fallback's ring collectives stay aligned.
+        band_fallback = jax.lax.pmax(band_ovf.astype(jnp.int32), "data") > 0
 
-        nbytes = npad // 8
+        def adj_resweep(_):
+            def adj_body(c, acc):
+                fd = final_chunk(c)
+                rows = row0_global + c * b + jnp.arange(b, dtype=jnp.int32)
+                ok = (rows[:, None] < n) & col_valid[None, :]
+                return jax.lax.dynamic_update_slice(
+                    acc, pack_bits((fd <= eps) & ok), (c * b, 0)
+                )
 
-        def adj_body(c, acc):
-            fd = final_chunk(c)
-            rows = row0_global + c * b + jnp.arange(b, dtype=jnp.int32)
-            ok = (rows[:, None] < n) & col_valid[None, :]
-            return jax.lax.dynamic_update_slice(
-                acc, pack_bits((fd <= eps) & ok), (c * b, 0)
+            return jax.lax.fori_loop(
+                0, n_chunks, adj_body, jnp.zeros((r, nbytes), jnp.uint8)
             )
 
-        adj_p = jax.lax.fori_loop(
-            0, n_chunks, adj_body, jnp.zeros((r, nbytes), jnp.uint8)
-        )
-        # Symmetrize: bitwise OR on packed bytes IS set union.
-        adj_p = adj_p | stripe_transpose_packed(adj_p)
+        def adj_from_band(_):
+            rows_r = jnp.arange(r, dtype=jnp.int32)[:, None]
+            sel = cand_fd <= eps
+            byte = jnp.where(sel, cand_col // 8, nbytes)  # nbytes: dropped
+            val = jnp.where(
+                sel, jnp.uint8(1) << (cand_col & 7).astype(jnp.uint8),
+                jnp.uint8(0),
+            )
+            # Candidate bits are disjoint from adj_in (fd > eps_lo there)
+            # and pairwise distinct, so scatter-add IS bitwise OR.
+            return adj_in.at[rows_r, byte].add(val, mode="drop")
+
+        with jax.named_scope("s_p4_adj"):
+            adj_p = jax.lax.cond(band_fallback, adj_resweep, adj_from_band,
+                                 operand=None)
+            # Symmetrize: bitwise OR on packed bytes IS set union.
+            adj_p = adj_p | stripe_transpose_packed(adj_p)
         big = jnp.int32(npad)
 
         def degree_body(c, acc):
@@ -397,9 +499,10 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
             d = jnp.sum(popcount(blk), axis=1, dtype=jnp.int32)
             return jax.lax.dynamic_update_slice(acc, d, (c * b,))
 
-        degree = jax.lax.fori_loop(
-            0, n_chunks, degree_body, jnp.zeros((r,), jnp.int32)
-        )
+        with jax.named_scope("s_p4_dbscan"):
+            degree = jax.lax.fori_loop(
+                0, n_chunks, degree_body, jnp.zeros((r,), jnp.int32)
+            )
         core_local = degree >= min_samples
         core = jax.lax.all_gather(core_local, "data", tiled=True)
         core_p = pack_bits(core)  # (nbytes,) column mask, packed
@@ -440,7 +543,8 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
             new = propagate(labels)
             return new, jnp.any(new != labels)
 
-        labels, _ = jax.lax.while_loop(cond, body, (labels, start))
+        with jax.named_scope("s_p4_dbscan"):
+            labels, _ = jax.lax.while_loop(cond, body, (labels, start))
 
         def border_min(c, acc):
             a = unpack_bits(
@@ -451,9 +555,10 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
             m = jnp.min(jnp.where(a, labels[None, :], big), axis=1)
             return jax.lax.dynamic_update_slice(acc, m, (c * b,))
 
-        core_neigh_local = jax.lax.fori_loop(
-            0, n_chunks, border_min, jnp.full((r,), big, jnp.int32)
-        )
+        with jax.named_scope("s_p4_dbscan"):
+            core_neigh_local = jax.lax.fori_loop(
+                0, n_chunks, border_min, jnp.full((r,), big, jnp.int32)
+            )
         core_neigh = jax.lax.all_gather(core_neigh_local, "data", tiled=True)
         raw = jnp.where(core, labels, core_neigh)
         idx = jnp.arange(npad, dtype=jnp.int32)
@@ -463,14 +568,15 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
             raw < big, jnp.take(root_rank, jnp.where(raw < big, raw, 0)), -1
         )
         return (out.astype(jnp.int32), jnp.sum(is_root.astype(jnp.int32)),
-                eps, final_stripe)
+                eps, band_fallback, final_stripe)
 
-    labels, n_clusters, eps, final = jax.shard_map(
+    labels, n_clusters, eps, band_fallback, final = jax.shard_map(
         impl, mesh=mesh, in_specs=P("data", None),
-        out_specs=(P(), P(), P(), P("data", None) if with_final else P()),
+        out_specs=(P(), P(), P(), P(),
+                   P("data", None) if with_final else P()),
         check_vma=False,
     )(f)
-    return labels, n_clusters, eps, final
+    return labels, n_clusters, eps, band_fallback, final
 
 
 def _stripe_config(features, mesh, chunk, col_blocks):
@@ -484,7 +590,14 @@ def _stripe_config(features, mesh, chunk, col_blocks):
     # divide by 8 for the bit-packed adjacency (ops/bits.py LSB-first bytes
     # + the packed ring transpose).
     base = p * chunk if n > p * chunk else p
-    f = _pad_rows(features.astype(jnp.float32), math.lcm(base, 8 * p))
+    mult = math.lcm(base, 8 * p)
+    if isinstance(features, jax.Array) and not features.is_fully_addressable:
+        # Process-spanning input (multi-host extract feeding clustering):
+        # eager concatenation would mix a global array with local pad rows;
+        # run the pad as one SPMD program instead.
+        f = jax.jit(lambda x: _pad_rows(x.astype(jnp.float32), mult))(features)
+    else:
+        f = _pad_rows(features.astype(jnp.float32), mult)
     npad = f.shape[0]
     r = npad // p
     # Column-block V/rh so no single fp32 buffer exceeds ~1 GiB (XLA's hard
@@ -525,6 +638,8 @@ def streaming_cluster(
     l1_impl: str = "auto",
     col_blocks: int | None = None,
     return_final: bool = False,
+    band_cap: int = 256,
+    diag: dict | None = None,
 ):
     """k-reciprocal re-rank + auto-eps DBSCAN without materializing the
     distance matrix: O(N^2/P) bool + ONE fp32 V stripe per chip.
@@ -534,6 +649,13 @@ def streaming_cluster(
     With ``return_final=True`` (debug/eval only: materializes the dense
     (N, N) re-ranked matrix!) a fourth element, the final distance matrix,
     is appended.
+
+    ``band_cap`` is the per-row capacity for adjacency pairs whose final
+    distance lands in the coarse-histogram eps uncertainty band; rows
+    exceeding it trigger the exact-but-slower dedicated adjacency sweep
+    (labels are identical either way). ``band_cap=0`` disables the fused
+    emission entirely (always resweep). Pass ``diag`` (a dict) to receive
+    ``{"band_fallback": bool}`` for perf attribution.
     """
     from ssg_tpu.parallel.multihost import global_put
 
@@ -541,14 +663,16 @@ def streaming_cluster(
                                               col_blocks)
     k1 = min(int(k1), n - 1)
     k2 = min(int(k2), n - 1)
-    labels, n_clusters, eps, final = _streaming_impl(
+    labels, n_clusters, eps, band_fallback, final = _streaming_impl(
         global_put(mesh, f, P("data", None)),
         global_put(mesh, np.int32(n), P()),
         global_put(mesh, np.float32(rho), P()),
         mesh, k1, k2, float(lambda_value),
         int(min_samples), int(c), l1_impl, n_vblk=n_vblk,
-        with_final=return_final,
+        with_final=return_final, band_cap=int(band_cap),
     )
+    if diag is not None:
+        diag["band_fallback"] = bool(band_fallback)
     if return_final:
         return labels[:n], n_clusters, eps, final[:n, :n]
     return labels[:n], n_clusters, eps

@@ -57,6 +57,53 @@ def test_streaming_column_blocked_v_matches():
     assert want_n > 0
 
 
+def test_streaming_band_fast_path_engages_and_matches():
+    """The fine-sweep adjacency emission (no dedicated 3rd sweep) must
+    actually engage on clustered data AND stay label-exact vs the dense
+    chain; forcing band_cap=1 exercises the fallback resweep, which must
+    give identical labels (VERDICT r2 next #2)."""
+    mesh = make_mesh(8)
+    feats = _feats(9, 256, 16)
+    kw = dict(k1=8, k2=3, lambda_value=0.1, rho=0.02, min_samples=3, chunk=8)
+
+    dist = re_ranking(features=feats, k1=8, k2=3, lambda_value=0.1)
+    want_labels, want_n, _ = cluster(dist, rho=0.02, min_samples=3)
+    assert want_n > 0
+
+    diag = {}
+    labels, n_clusters, _ = streaming_cluster(feats, mesh, diag=diag, **kw)
+    assert diag["band_fallback"] is False  # fast path engaged
+    assert int(n_clusters) == want_n
+    np.testing.assert_array_equal(np.asarray(labels), want_labels)
+
+    diag = {}
+    labels, n_clusters, _ = streaming_cluster(
+        feats, mesh, band_cap=0, diag=diag, **kw)
+    assert diag["band_fallback"] is True  # fallback exercised
+    assert int(n_clusters) == want_n
+    np.testing.assert_array_equal(np.asarray(labels), want_labels)
+
+
+def test_streaming_band_emission_exact_on_ties():
+    """Duplicated points (tied distances, fp-degenerate eps regime): the
+    fused band emission must produce EXACTLY the adjacency of the dedicated
+    sweep — labels/eps identical to the band_cap=0 forced-resweep run.
+    (Dense-vs-streaming label parity is out of scope on mass-tied data:
+    the two chains' top-k tie-breaking legitimately diverges there; the
+    tie-free parity matrix lives in the tests above.)"""
+    base = _feats(13, 24, 4)
+    feats = jnp.asarray(np.repeat(np.asarray(base), 4, axis=0))  # 96 rows
+    mesh = make_mesh(8)
+    kw = dict(k1=6, k2=2, lambda_value=0.1, rho=0.05, min_samples=3, chunk=4)
+
+    want_labels, want_n, want_eps = streaming_cluster(
+        feats, mesh, band_cap=0, **kw)  # dedicated adjacency sweep
+    labels, n_clusters, eps = streaming_cluster(feats, mesh, **kw)
+    assert int(n_clusters) == int(want_n)
+    np.testing.assert_array_equal(np.asarray(labels), np.asarray(want_labels))
+    assert float(eps) == float(want_eps)
+
+
 def test_streaming_tiny_k_clamp():
     mesh = make_mesh(8)
     feats = _feats(5, 40, 5)
