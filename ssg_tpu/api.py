@@ -66,7 +66,10 @@ def extract_features(model, variables, preprocessor: Preprocessor, print_freq: i
         from ssg_tpu.parallel import replicate, shard_batch
 
         variables = replicate(mesh, variables)
-        place = lambda x: shard_batch(mesh, jnp.asarray(x))  # noqa: E731
+        # Host batches go straight to shard_batch (NOT via jnp.asarray,
+        # which would commit them to the local default device first and
+        # break multi-process placement — dp.py routes through global_put).
+        place = lambda x: shard_batch(mesh, x)  # noqa: E731
     chunks, pids, cams, masks = [], [], [], []
     for i, (images, p, c, mask) in enumerate(preprocessor):
         emb = _forward_eval(model.apply, variables, place(images))
@@ -76,9 +79,19 @@ def extract_features(model, variables, preprocessor: Preprocessor, print_freq: i
         masks.append(mask)
         if (i + 1) % print_freq == 0:
             print(f"Extract Features: [{i + 1}/{len(preprocessor)}]")
-    feats = jnp.concatenate(chunks, axis=1)  # (num_parts, N_padded, F)
     keep = np.concatenate(masks)
-    feats = feats[:, jnp.asarray(np.flatnonzero(keep))]
+    idx = np.flatnonzero(keep)
+    if isinstance(chunks[0], jax.Array) and not chunks[0].is_fully_addressable:
+        # Multi-host mesh: the per-batch embeddings are process-spanning
+        # global arrays; concat + padding-row removal must run as one SPMD
+        # program (eager ops would mix global and local operands).
+        feats = jax.jit(
+            lambda *cs: jnp.take(jnp.concatenate(cs, axis=1),
+                                 jnp.asarray(idx), axis=1)
+        )(*chunks)
+    else:
+        feats = jnp.concatenate(chunks, axis=1)  # (num_parts, N_padded, F)
+        feats = feats[:, jnp.asarray(idx)]
     return (
         feats,
         np.concatenate(pids)[keep],

@@ -13,12 +13,13 @@ array cannot be auto-committed to devices another process owns, so global
 inputs are assembled shard-by-shard from each process's addressable slice
 (``global_put``).
 
-Multi-host coverage: the clustering pipelines (``streaming_cluster``,
-``streaming_rerank_eval``) place all inputs through ``global_put`` and run
-process-spanning (tests/test_multihost.py). Data-parallel extraction and
-fine-tuning use single-process ``device_put`` placement (parallel/dp.py) —
-they cover every single-host mesh; extending them multi-host means routing
-their batch placement through ``global_put`` per-process batch slices.
+Multi-host coverage: every product path places through ``global_put`` —
+the clustering pipelines (``streaming_cluster``, ``streaming_rerank_eval``)
+directly, and data-parallel extraction / fine-tuning via ``parallel.dp``'s
+``shard_batch``/``replicate``, which delegate here. The full SSG loop
+(extract -> cluster -> fine-tune) therefore spans processes end-to-end;
+tests/test_multihost.py runs one complete iteration on a 2-process x
+4-device cluster and asserts exact parity with the single-process mesh.
 """
 
 from __future__ import annotations
@@ -62,10 +63,15 @@ def global_put(mesh: Mesh, arr, spec: P):
     process contributes only its addressable shards
     (jax.make_array_from_callback), producing one global jax.Array —
     the multi-host replacement for jit's automatic input commitment.
+    A global jax.Array input (e.g. device-resident features flowing from
+    sharded extraction into clustering) is resharded in-program instead:
+    a jitted identity with out_shardings, the SPMD reshard.
     """
     sharding = NamedSharding(mesh, spec)
     if not is_multiprocess(mesh):
         return jax.device_put(arr, sharding)
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        return jax.jit(lambda x: x, out_shardings=sharding)(arr)
     arr = np.asarray(arr)
     return jax.make_array_from_callback(
         arr.shape, sharding, lambda idx: arr[idx]

@@ -57,6 +57,21 @@ def set_learning_rate(state, lr: float):
     hp = getattr(opt_state, "hyperparams", None)
     if hp is None or "learning_rate" not in hp:
         return state
+    old = hp["learning_rate"]
+    new = jnp.asarray(lr, old.dtype)
+    sh = getattr(old, "sharding", None)
+    if sh is not None and getattr(sh, "mesh", None) is not None and \
+            not getattr(old, "is_fully_addressable", True):
+        # Multi-host state: the old leaf is replicated over a process-
+        # spanning mesh; the replacement must match or the next jitted
+        # step sees mixed device sets.
+        import numpy as np
+
+        from jax.sharding import PartitionSpec as P
+
+        from ssg_tpu.parallel.multihost import global_put
+
+        new = global_put(sh.mesh, np.asarray(lr, old.dtype), P())
     new_hp = dict(hp)
-    new_hp["learning_rate"] = jnp.asarray(lr, hp["learning_rate"].dtype)
+    new_hp["learning_rate"] = new
     return state.replace(opt_state=opt_state._replace(hyperparams=new_hp))

@@ -152,16 +152,25 @@ class Trainer:
         self.step_fn = step_fn
         self.print_freq = print_freq
         self.logger = logger
-        self._sharding = None
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            self._sharding = NamedSharding(mesh, P("data"))
+        self.mesh = mesh
 
     def _place(self, images):
-        if self._sharding is None:
+        if self.mesh is None:
             return jnp.asarray(images)
-        return jax.device_put(images, self._sharding)
+        # global_put via dp.shard_batch: device_put on a single-process
+        # mesh, per-process addressable slices on a DCN (multi-host) mesh —
+        # every process renders the identical batch and ships its shard.
+        from ssg_tpu.parallel.dp import shard_batch
+
+        return shard_batch(self.mesh, images)
+
+    def _rep(self, x):
+        """Replicate small per-step operands (labels, rng) over the mesh."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from ssg_tpu.parallel.dp import replicate
+
+        return replicate(self.mesh, x)
 
     def train(self, epoch: int, state: TrainState, batch_iter, rng: jax.Array,
               lr: float | None = None, prefetch_depth: int = 2):
@@ -185,7 +194,9 @@ class Trainer:
         # step dispatch stays asynchronous (no per-step block_until_ready)
         for i, (images, labels) in enumerate(batch_iter):
             rng, k = jax.random.split(rng)
-            state, metrics = self.step_fn(state, self._place(images), jnp.asarray(labels), k)
+            state, metrics = self.step_fn(
+                state, self._place(images), self._rep(labels), self._rep(k)
+            )
             pending.append((i, images.shape[0], metrics))
             batch_time.update(time.time() - end)
             end = time.time()

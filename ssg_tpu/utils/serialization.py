@@ -43,17 +43,36 @@ def save_checkpoint(state: dict, is_best: bool, fpath: str = "checkpoint"):
 
     ``state`` is any pytree (variables, opt_state, counters). ``fpath`` is a
     directory (Orbax layout), reference-equivalent of checkpoint.pth.tar.
+
+    Multi-process runtimes: every process calls into Orbax (its sync save
+    carries internal cross-process barriers, so all must participate), but
+    only process 0 mutates the filesystem — Orbax itself writes on the
+    primary only, and the rmtree/copytree bookkeeping follows the same
+    torch rank-0 convention. An explicit pre-save barrier orders the
+    primary's rmtree before any process enters the save.
     """
+    multiproc = jax.process_count() > 1
+    primary = jax.process_index() == 0
     fpath = os.path.abspath(fpath)
-    if os.path.exists(fpath):
-        shutil.rmtree(fpath)
+    if primary:
+        if os.path.exists(fpath):
+            shutil.rmtree(fpath)
+        mkdir_if_missing(os.path.dirname(fpath) or ".")
+    if multiproc:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("ssg:ckpt:pre")
     ckpt = ocp.PyTreeCheckpointer()
     ckpt.save(fpath, _to_host(state))
-    if is_best:
+    if is_best and primary:
         best = os.path.join(os.path.dirname(fpath), "model_best")
         if os.path.exists(best):
             shutil.rmtree(best)
         shutil.copytree(fpath, best)
+    if multiproc:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("ssg:ckpt:post")
 
 
 def load_checkpoint(fpath: str) -> dict:
