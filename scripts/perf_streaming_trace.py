@@ -60,50 +60,50 @@ def main():
         np.asarray(labels)
     print("trace captured", flush=True)
 
-    paths = sorted(glob.glob(f"{LOGDIR}/**/*.trace.json.gz", recursive=True))
+    report(LOGDIR, n, chunk, band_cap)
+
+
+def report(logdir, n=0, chunk=0, band_cap=0):
+    """Aggregate leaf device-op time by named_scope from the newest trace.
+
+    Lane layout (measured in this environment): the device pid carries an
+    "XLA Modules" thread (one event per executed program = true device
+    program duration) and an "XLA Ops" thread (every HLO op, including
+    parent while/cond events that OVERLAP their body ops — those parents
+    are excluded so nothing double-counts). The named_scope path arrives
+    in each op's args.tf_op.
+    """
+    import re
+
+    paths = sorted(glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True))
     if not paths:
         print("no trace json found")
         return
     with gzip.open(paths[-1], "rt") as f:
         trace = json.load(f)
-    events = [e for e in trace.get("traceEvents", [])
-              if e.get("ph") == "X" and e.get("dur")]
-    # Find the device lane: the one holding the jitted streaming program.
-    prog = [e for e in events if e["name"].startswith("jit__streaming_impl")]
-    if not prog:
-        # fall back: lane with the largest total op time
-        lanes = {}
-        for e in events:
-            lanes.setdefault((e.get("pid"), e.get("tid")), 0)
-            lanes[(e.get("pid"), e.get("tid"))] += e["dur"]
-        lane = max(lanes, key=lanes.get)
-        prog_total = None
-    else:
-        lane = (prog[0].get("pid"), prog[0].get("tid"))
-        prog_total = sum(e["dur"] for e in prog)
-    inner = sorted(
-        (e for e in events
-         if (e.get("pid"), e.get("tid")) == lane
-         and not e["name"].startswith(("jit_", "$", "PjitFunction"))),
-        key=lambda e: (e["ts"], -e["dur"]))
-    top, end = [], -1
-    for e in inner:
-        if e["ts"] >= end:
-            top.append(e)
-            end = e["ts"] + e["dur"]
+    all_ev = trace.get("traceEvents", [])
+    dev_pids = {e["pid"] for e in all_ev
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "device:" in str(e.get("args", {}).get("name", ""))}
+    events = [e for e in all_ev
+              if e.get("ph") == "X" and e.get("dur")
+              and e.get("pid") in dev_pids]
+    prog = [e for e in events if e["name"].startswith("jit_")]
+    if prog:
+        print(f"program total {sum(e['dur'] for e in prog) / 1e6:.2f} s")
+    leaf = [e for e in events
+            if not e["name"].startswith(("jit_", "while", "conditional",
+                                         "call"))]
     by_phase, by_op, total = {}, {}, 0
-    for e in top:
-        meta = (e.get("args") or {}).get("long_name", "") or \
-            (e.get("args") or {}).get("tf_op", "")
-        phase = next((p for p in PHASES if p in meta or p in e["name"]),
-                     "(other)")
+    for e in leaf:
+        tf = str((e.get("args") or {}).get("tf_op", ""))
+        m = re.search(r"s_p\w+", tf)
+        phase = m.group(0) if m else "(other)"
         by_phase[phase] = by_phase.get(phase, 0) + e["dur"]
-        key = (phase, e["name"].split(".")[0])
-        by_op[key] = by_op.get(key, 0) + e["dur"]
+        by_op[(phase, e["name"].split(".")[0])] = \
+            by_op.get((phase, e["name"].split(".")[0]), 0) + e["dur"]
         total += e["dur"]
-    if prog_total is not None:
-        print(f"program total {prog_total / 1e6:.2f} s")
-    print(f"top-level device op sum {total / 1e6:.2f} s "
+    print(f"leaf device op sum {total / 1e6:.2f} s "
           f"(N={n}, chunk={chunk}, band_cap={band_cap})")
     for phase, dur in sorted(by_phase.items(), key=lambda kv: -kv[1]):
         print(f"{dur / 1e6:8.3f} s  {phase}")

@@ -317,16 +317,21 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
             fd = final_chunk(c)
             valid = chunk_valid(c) & (fd != 0.0)
             total += jnp.sum(valid.astype(jnp.int32))
-            flat = jnp.where(valid, cidx(fd), _BINS).ravel()
-            hist = hist.at[flat].add(1)
+            # Comparison histogram, not scatter: TPU scatter serializes to
+            # ~9 ns/element (2.35 s for this sweep at N=16,384, measured);
+            # an == broadcast against the bin iota reduces on the VPU in
+            # one fused pass instead (same counts, bit-identical bin0).
+            ci = jnp.where(valid, cidx(fd), _BINS)
+            onehot = ci[:, :, None] == jnp.arange(_BINS, dtype=jnp.int32)
+            hist = hist + jnp.sum(onehot, axis=(0, 1), dtype=jnp.int32)
             return hist, total
 
         with jax.named_scope("s_p3_coarse"):
             hist0, total = jax.lax.fori_loop(
                 0, n_chunks, sweep_coarse,
-                (jnp.zeros((_BINS + 1,), jnp.int32), jnp.int32(0)),
+                (jnp.zeros((_BINS,), jnp.int32), jnp.int32(0)),
             )
-        hist0 = jax.lax.psum(hist0[:_BINS], "data")
+        hist0 = jax.lax.psum(hist0, "data")
         total = jax.lax.psum(total, "data")
         k = jnp.maximum(
             jnp.round(rho * total.astype(jnp.float32)).astype(jnp.int32), 1
@@ -365,104 +370,147 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
         from ssg_tpu.parallel.ring import stripe_transpose_packed
 
         nbytes = npad // 8
-        cap = band_cap
-        rows_c = jnp.arange(b, dtype=jnp.int32)[:, None]
-        cols_c = jnp.broadcast_to(
-            jnp.arange(npad, dtype=jnp.int32)[None, :], (b, npad))
+        cap = min(band_cap, npad)
 
+        # ---- fine sweep: compacting, almost scatter-free ----------------
+        # TPU scatter costs ~2 s per full (chunk x npad)-element pass at
+        # N=16,384 (docs/streaming_profile.md): five such passes made the
+        # old fine sweep 12 s against 2.4 s of L1. This sweep keeps only
+        # cheap masked reductions, the bit-packed definite adjacency
+        # (pack_bits is an elementwise fusion), and ONE exact approx_min_k
+        # per chunk: every pair in the eps-relevant region — the k-th-value
+        # coarse bin (fine histogram) plus the eps uncertainty band
+        # (adjacency) — is compacted to <= cap slots per row. The fine
+        # histogram and band resolution then run over (r, cap) arrays.
+        # Exactness never depends on cap: if any row's region overflows,
+        # a mesh-uniform lax.cond re-runs the full-scatter fine histogram
+        # and a dedicated adjacency sweep.
         def sweep_fine(c, carry):
-            (cnt_lo, sum_lo, fhist, fsum, fmin,
-             adj_acc, cc_acc, cf_acc, ovf) = carry
+            cnt_lo, sum_lo, adj_acc, cc_acc, cf_acc, ovf = carry
             fd = final_chunk(c)
-            valid = chunk_valid(c) & (fd != 0.0)
+            tri = chunk_valid(c) & (fd != 0.0)
             ci = cidx(fd)
-            below = valid & (ci < bin0)
+            below = tri & (ci < bin0)
             cnt_lo += jnp.sum(below.astype(jnp.int32))
             sum_lo += jnp.sum(jnp.where(below, fd, 0.0))
-            inbin = valid & (ci == bin0)
-            flat = jnp.where(inbin, fidx(fd), _BINS).ravel()
-            fdr = fd.ravel()
-            fhist = fhist.at[flat].add(1)
-            fsum = fsum.at[flat].add(jnp.where(inbin.ravel(), fdr, 0.0))
-            fmin = fmin.at[flat].min(jnp.where(inbin.ravel(), fdr, jnp.inf))
             if cap > 0:
-                # Early adjacency emission (full mask, not the upper
-                # triangle: phase 4 consumes both triangles before
-                # symmetrization).
+                # Full mask for adjacency (both triangles: phase 4
+                # symmetrizes by OR, but consumes every row's bits).
                 rows = row0_global + c * b + jnp.arange(b, dtype=jnp.int32)
                 ok = (rows[:, None] < n) & col_valid[None, :]
                 adj_acc = jax.lax.dynamic_update_slice(
                     adj_acc, pack_bits((fd <= eps_lo) & ok), (c * b, 0))
+                inbin = tri & (ci == bin0)
                 band = ok & (fd > eps_lo) & (fd <= eps_hi)
-                ovf = ovf | jnp.any(jnp.sum(band, axis=1) > cap)
-                # Compact each row's band pairs into fixed slots (cumsum
-                # positions; slot `cap` is the dump column for everything
-                # masked or overflowing — sliced off below).
-                pos = jnp.cumsum(band.astype(jnp.int32), axis=1) - 1
-                slot = jnp.where(band & (pos < cap), pos, cap)
-                cc = jnp.full((b, cap + 1), npad, jnp.int32) \
-                    .at[rows_c, slot].set(cols_c)[:, :cap]
-                cf = jnp.full((b, cap + 1), jnp.inf, jnp.float32) \
-                    .at[rows_c, slot].set(fd)[:, :cap]
-                cc_acc = jax.lax.dynamic_update_slice(cc_acc, cc, (c * b, 0))
-                cf_acc = jax.lax.dynamic_update_slice(cf_acc, cf, (c * b, 0))
-            return (cnt_lo, sum_lo, fhist, fsum, fmin,
-                    adj_acc, cc_acc, cf_acc, ovf)
+                region = inbin | band
+                ovf = ovf | jnp.any(jnp.sum(region, axis=1) > cap)
+                key = jnp.where(region, fd, jnp.inf)
+                vals, idxs = jax.lax.approx_min_k(key, cap,
+                                                  recall_target=1.0)
+                cc_acc = jax.lax.dynamic_update_slice(cc_acc, idxs,
+                                                      (c * b, 0))
+                cf_acc = jax.lax.dynamic_update_slice(cf_acc, vals,
+                                                      (c * b, 0))
+            return cnt_lo, sum_lo, adj_acc, cc_acc, cf_acc, ovf
 
         with jax.named_scope("s_p3_fine_adj"):
-            (cnt_lo, sum_lo, fhist, fsum, fmin,
-             adj_in, cand_col, cand_fd, band_ovf) = jax.lax.fori_loop(
+            (cnt_lo, sum_lo, adj_in, cand_col, cand_fd,
+             band_ovf) = jax.lax.fori_loop(
                 0, n_chunks, sweep_fine,
                 (jnp.int32(0), jnp.float32(0.0),
-                 jnp.zeros((_BINS + 1,), jnp.int32),
-                 jnp.zeros((_BINS + 1,), jnp.float32),
-                 jnp.full((_BINS + 1,), jnp.inf, jnp.float32),
                  jnp.zeros((r, nbytes), jnp.uint8),
                  jnp.full((r, max(cap, 1)), npad, jnp.int32),
                  jnp.full((r, max(cap, 1)), jnp.inf, jnp.float32),
-                 # cap=0 statically disables the fused emission: the
-                 # fallback sweep always runs (escape hatch + test knob).
+                 # cap=0 statically disables the fused path: the fallback
+                 # sweeps always run (escape hatch + deterministic tests).
                  jnp.bool_(cap == 0)),
             )
         cnt_lo = jax.lax.psum(cnt_lo, "data")
         sum_lo = jax.lax.psum(sum_lo, "data")
-        fhist = jax.lax.psum(fhist[:_BINS], "data")
-        fsum = jax.lax.psum(fsum[:_BINS], "data")
-        fmin = jax.lax.pmin(fmin[:_BINS], "data")
-
-        cum1 = cnt_lo + jnp.cumsum(fhist)
-        bin1 = jnp.searchsorted(cum1, k, side="left").astype(jnp.int32)
-        # Everything strictly below the k-th bin, then the k-th bin's min is
-        # the k-th smallest value (fine bins are narrower than one fp32 ulp
-        # for values >= hi0/8; ties below that share one bin and the min is
-        # still the correct k-th order statistic because the whole bin
-        # collapses to values within an ulp).
-        below_cnt = jnp.where(bin1 > 0, cum1[jnp.maximum(bin1 - 1, 0)], cnt_lo)
-        below_sum = sum_lo + jnp.where(
-            bin1 > 0, jnp.cumsum(fsum)[jnp.maximum(bin1 - 1, 0)], 0.0
-        )
-        kth = fmin[bin1]
-        eps = (below_sum + (k - below_cnt).astype(jnp.float32) * kth) / \
-            k.astype(jnp.float32)
-
-        # ---- phase 4: bit-packed adjacency stripe + distributed DBSCAN --
-        # The adjacency is the pipeline's only persistent O(N^2/P) state;
-        # packing 8 columns/byte (ops/bits.py) shrinks it 8x — consumers
-        # unpack (b, npad) row chunks on the fly, so peak bool memory
-        # stays at chunk scale.
-        #
-        # Fast path: the fine sweep already emitted the definite adjacency
-        # (fd <= eps_lo) plus per-row band candidates; resolving the
-        # candidates against the exact eps and OR-ing their bits in gives
-        # the same stripe as a dedicated sweep without recomputing any
-        # distance chunk. The dedicated sweep survives only as the
-        # lax.cond fallback for rows that overflowed the band capacity
-        # (degenerate/tied distance distributions); the predicate is made
-        # mesh-uniform with pmax so every device takes the same branch and
-        # the fallback's ring collectives stay aligned.
         band_fallback = jax.lax.pmax(band_ovf.astype(jnp.int32), "data") > 0
 
-        def adj_resweep(_):
+        def eps_from(fhist, fsum, fmin):
+            """Closed-form eps from the (local) fine histogram triple."""
+            fhist = jax.lax.psum(fhist[:_BINS], "data")
+            fsum = jax.lax.psum(fsum[:_BINS], "data")
+            fmin = jax.lax.pmin(fmin[:_BINS], "data")
+            cum1 = cnt_lo + jnp.cumsum(fhist)
+            bin1 = jnp.searchsorted(cum1, k, side="left").astype(jnp.int32)
+            # Everything strictly below the k-th bin, then the k-th bin's
+            # min is the k-th smallest value (fine bins are narrower than
+            # one fp32 ulp for values >= hi0/8; ties below that share one
+            # bin and the min is still the correct k-th order statistic
+            # because the whole bin collapses to values within an ulp).
+            below_cnt = jnp.where(bin1 > 0, cum1[jnp.maximum(bin1 - 1, 0)],
+                                  cnt_lo)
+            below_sum = sum_lo + jnp.where(
+                bin1 > 0, jnp.cumsum(fsum)[jnp.maximum(bin1 - 1, 0)], 0.0
+            )
+            kth = fmin[bin1]
+            return (below_sum + (k - below_cnt).astype(jnp.float32) * kth) \
+                / k.astype(jnp.float32)
+
+        # ---- phase 4: eps resolution + bit-packed adjacency -------------
+        # The adjacency is the pipeline's only persistent O(N^2/P) state;
+        # packing 8 columns/byte (ops/bits.py) shrinks it 8x — consumers
+        # unpack (b, npad) row chunks on the fly.
+        def resolve_fast(_):
+            # Fine histogram over the compacted candidates only (upper-
+            # triangle pairs in bin0; all recomputable from (row, col, fd),
+            # with the identical cidx/fidx classification expressions).
+            rows_g = row0_global + jnp.arange(r, dtype=jnp.int32)
+            live = jnp.isfinite(cand_fd)
+            inbin_c = live & (cand_fd != 0.0) & (cidx(cand_fd) == bin0) & \
+                (cand_col > rows_g[:, None])
+            flat = jnp.where(inbin_c, fidx(cand_fd), _BINS).ravel()
+            fdr = cand_fd.ravel()
+            w = jnp.where(inbin_c.ravel(), fdr, 0.0)
+            m = jnp.where(inbin_c.ravel(), fdr, jnp.inf)
+            fhist = jnp.zeros((_BINS + 1,), jnp.int32).at[flat].add(
+                inbin_c.ravel().astype(jnp.int32))
+            fsum = jnp.zeros((_BINS + 1,), jnp.float32).at[flat].add(w)
+            fmin = jnp.full((_BINS + 1,), jnp.inf, jnp.float32) \
+                .at[flat].min(m)
+            eps = eps_from(fhist, fsum, fmin)
+            # Band candidates with fd <= eps join the definite adjacency.
+            # fd <= eps_lo entries are already in adj_in (their bit is set,
+            # so they must NOT be added again — scatter-ADD is OR only for
+            # bits known to be zero), hence the strict > eps_lo guard.
+            sel = live & (cand_fd > eps_lo) & (cand_fd <= eps)
+            byte = jnp.where(sel, cand_col // 8, nbytes)  # nbytes: dropped
+            val = jnp.where(
+                sel, jnp.uint8(1) << (cand_col & 7).astype(jnp.uint8),
+                jnp.uint8(0),
+            )
+            adj = adj_in.at[jnp.arange(r, dtype=jnp.int32)[:, None], byte] \
+                .add(val, mode="drop")
+            return eps, adj
+
+        def resolve_slow(_):
+            # Capacity overflow (degenerate/tied data): the compacted view
+            # may be incomplete, so BOTH the fine histogram and the
+            # adjacency re-run as full sweeps (the pre-r3 program).
+            def hist_body(c, carry):
+                fhist, fsum, fmin = carry
+                fd = final_chunk(c)
+                tri = chunk_valid(c) & (fd != 0.0)
+                inbin = tri & (cidx(fd) == bin0)
+                flat = jnp.where(inbin, fidx(fd), _BINS).ravel()
+                fdr = fd.ravel()
+                fhist = fhist.at[flat].add(1)
+                fsum = fsum.at[flat].add(jnp.where(inbin.ravel(), fdr, 0.0))
+                fmin = fmin.at[flat].min(
+                    jnp.where(inbin.ravel(), fdr, jnp.inf))
+                return fhist, fsum, fmin
+
+            fhist, fsum, fmin = jax.lax.fori_loop(
+                0, n_chunks, hist_body,
+                (jnp.zeros((_BINS + 1,), jnp.int32),
+                 jnp.zeros((_BINS + 1,), jnp.float32),
+                 jnp.full((_BINS + 1,), jnp.inf, jnp.float32)),
+            )
+            eps = eps_from(fhist, fsum, fmin)
+
             def adj_body(c, acc):
                 fd = final_chunk(c)
                 rows = row0_global + c * b + jnp.arange(b, dtype=jnp.int32)
@@ -471,25 +519,16 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
                     acc, pack_bits((fd <= eps) & ok), (c * b, 0)
                 )
 
-            return jax.lax.fori_loop(
+            adj = jax.lax.fori_loop(
                 0, n_chunks, adj_body, jnp.zeros((r, nbytes), jnp.uint8)
             )
-
-        def adj_from_band(_):
-            rows_r = jnp.arange(r, dtype=jnp.int32)[:, None]
-            sel = cand_fd <= eps
-            byte = jnp.where(sel, cand_col // 8, nbytes)  # nbytes: dropped
-            val = jnp.where(
-                sel, jnp.uint8(1) << (cand_col & 7).astype(jnp.uint8),
-                jnp.uint8(0),
-            )
-            # Candidate bits are disjoint from adj_in (fd > eps_lo there)
-            # and pairwise distinct, so scatter-add IS bitwise OR.
-            return adj_in.at[rows_r, byte].add(val, mode="drop")
+            return eps, adj
 
         with jax.named_scope("s_p4_adj"):
-            adj_p = jax.lax.cond(band_fallback, adj_resweep, adj_from_band,
-                                 operand=None)
+            # Mesh-uniform predicate (pmax above): every device takes the
+            # same branch, so the fallback's ring collectives stay aligned.
+            eps, adj_p = jax.lax.cond(band_fallback, resolve_slow,
+                                      resolve_fast, operand=None)
             # Symmetrize: bitwise OR on packed bytes IS set union.
             adj_p = adj_p | stripe_transpose_packed(adj_p)
         big = jnp.int32(npad)
