@@ -53,38 +53,54 @@ def main():
         return
     with gzip.open(paths[-1], "rt") as f:
         trace = json.load(f)
-    events = [e for e in trace.get("traceEvents", [])
-              if e.get("ph") == "X" and e.get("dur")]
-    # Device-op lane: the pid/tid of the jit_step executables; aggregate
-    # only TOP-LEVEL intervals on it (nested scopes like named
-    # subcomputations would otherwise double-count — the round-2 pitfall).
-    steps = [e for e in events if e["name"].startswith("jit_step")]
-    if not steps:
-        print("no jit_step events in trace")
+    all_ev = trace.get("traceEvents", [])
+    # Lane layout (measured): device pid carries "XLA Modules" (one event
+    # per executed program = true device step time) and "XLA Ops" (every
+    # leaf HLO op, each annotated with bytes_accessed/model_flops). The
+    # jit_step launch events live on a HOST lane — aggregating around them
+    # was the round-2 double-count pitfall; leaf ops on the device ops
+    # lane carry no nesting, so a straight sum is correct.
+    tidnames = {}
+    for e in all_ev:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tidnames[(e["pid"], e["tid"])] = e["args"].get("name")
+    try:
+        ops_lane = next(k for k, v in tidnames.items() if v == "XLA Ops")
+        mods_lane = next(k for k, v in tidnames.items() if v == "XLA Modules")
+    except StopIteration:
+        print("no XLA device lanes in trace")
         return
-    lane = (steps[0].get("pid"), steps[0].get("tid"))
-    step_total = sum(e["dur"] for e in steps)
-    inner = sorted(
-        (e for e in events
-         if (e.get("pid"), e.get("tid")) == lane
-         and not e["name"].startswith(("jit_", "$", "PjitFunction"))),
-        key=lambda e: e["ts"])
-    top, end = [], -1
-    for e in inner:
-        if e["ts"] >= end:
-            top.append(e)
-            end = e["ts"] + e["dur"]
-    by_shape, total = {}, 0
-    for e in top:
-        meta = (e.get("args") or {}).get("long_name", "")
-        m = re.match(r"%\S+ = (\S+?)\{", meta)
-        shape = m.group(1) if m else e["name"].split(".")[0]
-        by_shape[shape] = by_shape.get(shape, 0) + e["dur"]
-        total += e["dur"]
-    print(f"step total {step_total / n / 1e3:.2f} ms; top-level op sum "
-          f"{total / n / 1e3:.2f} ms/step (batch={batch})")
-    for shape, dur in sorted(by_shape.items(), key=lambda kv: -kv[1])[:30]:
-        print(f"{dur / n / 1e3:8.3f} ms/step  {shape}")
+    ev = [e for e in all_ev if e.get("ph") == "X" and e.get("dur")]
+    steps = [e for e in ev if (e["pid"], e["tid"]) == mods_lane
+             and e["name"].startswith("jit_step")]
+    step_total = sum(e["dur"] for e in steps) / max(len(steps), 1)
+    leaf = [e for e in ev if (e["pid"], e["tid"]) == ops_lane
+            and not e["name"].startswith(("jit_", "while", "conditional",
+                                          "call"))]
+    BW, PK = 819e9, 197e12  # v5e HBM B/s, bf16 FLOP/s
+    agg = {}
+    for e in leaf:
+        a = e.get("args") or {}
+        d = agg.setdefault(e["name"].split(".")[0], [0, 0, 0])
+        d[0] += e["dur"]
+        d[1] += int(a.get("bytes_accessed", 0) or 0)
+        d[2] += int(a.get("model_flops", 0) or 0)
+    tt = sum(v[0] for v in agg.values())
+    tb = sum(v[1] for v in agg.values())
+    tf_ = sum(v[2] for v in agg.values())
+    print(f"step device total {step_total / 1e3:.2f} ms (batch={batch}, "
+          f"{batch / (step_total * 1e-6):,.0f} imgs/s)")
+    print(f"leaf sum {tt / 1e3 / n:.2f} ms/step, {tb / n / 2**30:.2f} "
+          f"GiB/step -> {tb / (tt * 1e-6) / 1e9:.0f} GB/s aggregate "
+          f"({tb / (tt * 1e-6) / BW:.0%} of HBM roofline), "
+          f"{tf_ / (tt * 1e-6) / 1e12:.1f} TFLOP/s "
+          f"({tf_ / (tt * 1e-6) / PK:.0%} MFU)")
+    print(f"{'op':30s} {'ms/st':>7s} {'GiB/st':>7s} {'GB/s':>6s} "
+          f"{'bw%':>5s} {'mxu%':>5s}")
+    for name, (t, b, f_) in sorted(agg.items(), key=lambda kv: -kv[1][0])[:14]:
+        sec = t * 1e-6
+        print(f"{name[:30]:30s} {t / 1e3 / n:7.2f} {b / n / 2**30:7.2f} "
+              f"{b / sec / 1e9:6.0f} {b / sec / BW:5.0%} {f_ / sec / PK:5.0%}")
 
 
 if __name__ == "__main__":
