@@ -53,6 +53,25 @@ def main():
     )
     print(f"full chain      {t['p50_s'] * 1e3:8.1f} ms", flush=True)
 
+    if "--trace" in sys.argv:
+        # Per-stage device attribution of the fused bench graph
+        # (api._analytics_impl named scopes: a_dist/a_rerank(rr_*)/a_eps/
+        # a_dbscan), the bench.py cluster_seconds_3groups workload.
+        import numpy as np
+
+        from ssg_tpu.api import cluster_groups
+        from ssg_tpu.utils import profiling
+        from ssg_tpu.utils.traceview import report_by_scope
+
+        logdir = "/tmp/ssg_cluster_trace"
+        f3 = jnp.stack([feats, feats, feats])
+        cluster_groups(f3, k1=20, k2=6, lambda_value=0.1, rho=1.6e-3)
+        with profiling.trace(logdir):
+            out = cluster_groups(f3, k1=20, k2=6, lambda_value=0.1,
+                                 rho=1.6e-3)
+            np.asarray(out[0])
+        report_by_scope(logdir, r"a_dist|rr_\w+|a_eps|a_dbscan")
+
 
 if __name__ == "__main__":
     main()

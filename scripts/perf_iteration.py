@@ -46,7 +46,7 @@ def main():
     # Stage 0: render N synthetic target-train images on device (host
     # bandwidth is tunnel-limited; real deployments stream via the native
     # loader). Not part of the iteration metric.
-    scale = n / 12936 * 1.05 + 0.02
+    scale = n / 6008 * 1.05 + 0.02  # synthetic train ~= 6008 * scale items
     ds = datasets.create("market1501", scale=scale, seed=0)
     items = ds.train[:n]
     assert len(items) == n, f"synthetic train too small: {len(items)}"
@@ -85,8 +85,13 @@ def main():
             out.append((np.asarray(labels), int(nc), float(eps)))
         return out
 
-    state = create_train_state(model, jax.random.PRNGKey(0),
-                               variables=variables)
+    # Copy: the train step donates state buffers (donate_argnums), and the
+    # extract passes keep reading `variables` — without the copy the
+    # donated params alias them and the post-train extract reads deleted
+    # buffers (INVALID_ARGUMENT).
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        variables=jax.tree.map(jnp.copy, variables))
     step = make_train_step(model, num_parts=3)
 
     def train_epoch(state, kept_idx, kept_labels, seed):

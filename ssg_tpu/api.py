@@ -129,10 +129,16 @@ def _analytics_impl(feats, rho, k1, k2, lambda_value, min_samples, l1_impl):
 
     labels, counts, epss = [], [], []
     for g in range(feats.shape[0]):
-        original = pairwise_distance(feats[g], squared=True)
-        dist = _re_ranking_impl(original, k1, k2, lambda_value, l1_impl)
-        eps_g = _select_eps(dist, rho=rho)
-        labels_g, n_g = _dbscan(dist, eps_g, min_samples=min_samples)
+        # named_scope per stage: device-trace attribution groups op time
+        # by these prefixes (scripts/perf_cluster.py --trace).
+        with jax.named_scope("a_dist"):
+            original = pairwise_distance(feats[g], squared=True)
+        with jax.named_scope("a_rerank"):
+            dist = _re_ranking_impl(original, k1, k2, lambda_value, l1_impl)
+        with jax.named_scope("a_eps"):
+            eps_g = _select_eps(dist, rho=rho)
+        with jax.named_scope("a_dbscan"):
+            labels_g, n_g = _dbscan(dist, eps_g, min_samples=min_samples)
         labels.append(labels_g)
         counts.append(n_g)
         epss.append(eps_g)

@@ -60,61 +60,66 @@ def _re_ranking_impl(
     # a prefix slice of the k1 list — one top-k pass instead of two
     # (round 2; same trick in parallel/streaming phase 1).
     half = int(round(k1 / 2.0))
-    _, nn1 = jax.lax.approx_min_k(orig, k1 + 1, recall_target=1.0)
+    with jax.named_scope("rr_topk"):
+        _, nn1 = jax.lax.approx_min_k(orig, k1 + 1, recall_target=1.0)
     nnh = nn1[:, : half + 1]
-    m1 = _membership(nn1, n)
-    mh = _membership(nnh, n)
+    with jax.named_scope("rr_masks"):
+        m1 = _membership(nn1, n)
+        mh = _membership(nnh, n)
 
-    r = m1 & m1.T  # k-reciprocal sets R(i, k1)
-    rh = mh & mh.T  # R(i, k1/2)
-    # bf16 mask GEMMs: inputs are 0/1 and accumulation is fp32, so the
-    # counts (<= k1+1) are EXACT while the MXU runs at native bf16 rate.
-    rf = r.astype(jnp.bfloat16)
-    rhf = rh.astype(jnp.bfloat16)
+        r = m1 & m1.T  # k-reciprocal sets R(i, k1)
+        rh = mh & mh.T  # R(i, k1/2)
+        # bf16 mask GEMMs: inputs are 0/1 and accumulation is fp32, so the
+        # counts (<= k1+1) are EXACT while the MXU runs at native bf16 rate.
+        rf = r.astype(jnp.bfloat16)
+        rhf = rh.astype(jnp.bfloat16)
 
-    # Candidate expansion: |R(i) ∩ Rh(c)| > 2/3 |Rh(c)| for c in R(i).
-    overlap = jnp.dot(rf, rhf.T, preferred_element_type=jnp.float32)
-    sz = jnp.sum(rh.astype(jnp.float32), axis=1)
-    qualify = r & (overlap > (2.0 / 3.0) * sz[None, :])
-    expanded = r | (
-        jnp.dot(qualify.astype(jnp.bfloat16), rhf, preferred_element_type=jnp.float32)
-        > 0.0
-    )
+        # Candidate expansion: |R(i) ∩ Rh(c)| > 2/3 |Rh(c)| for c in R(i).
+        overlap = jnp.dot(rf, rhf.T, preferred_element_type=jnp.float32)
+        sz = jnp.sum(rh.astype(jnp.float32), axis=1)
+        qualify = r & (overlap > (2.0 / 3.0) * sz[None, :])
+        expanded = r | (
+            jnp.dot(qualify.astype(jnp.bfloat16), rhf,
+                    preferred_element_type=jnp.float32)
+            > 0.0
+        )
 
-    # Gaussian-weighted sparse encoding, row-normalized (guard: a row whose
-    # reciprocal set is empty — possible under heavy distance ties — must
-    # yield zeros, not NaNs).
-    w = jnp.where(expanded, jnp.exp(-orig), 0.0)
-    v = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-30)
+        # Gaussian-weighted sparse encoding, row-normalized (guard: a row
+        # whose reciprocal set is empty — possible under heavy distance
+        # ties — must yield zeros, not NaNs).
+        w = jnp.where(expanded, jnp.exp(-orig), 0.0)
+        v = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-30)
 
     # Local query expansion over the k2 nearest neighbors (one-hot GEMM).
     # Measured on v5e at N=3368: the MXU GEMM beats a gather+mean of the k2
     # rows (TPU gathers are slow) despite the O(N^3) flop count.
     if k2 != 1:
-        # k2 <= k1 in every reference config -> prefix of the sorted nn1.
-        nn2 = nn1[:, :k2] if k2 <= k1 + 1 else (
-            jax.lax.approx_min_k(orig, k2, recall_target=1.0)[1])
-        a2 = _membership(nn2, n).astype(jnp.float32)
-        # HIGHEST: V carries real values (not 0/1 counts like the masks
-        # above), so default bf16 MXU passes would cost parity here.
-        v = (
-            jnp.dot(
-                a2,
-                v,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+        with jax.named_scope("rr_qe"):
+            # k2 <= k1 in every reference config -> prefix of sorted nn1.
+            nn2 = nn1[:, :k2] if k2 <= k1 + 1 else (
+                jax.lax.approx_min_k(orig, k2, recall_target=1.0)[1])
+            a2 = _membership(nn2, n).astype(jnp.float32)
+            # HIGHEST: V carries real values (not 0/1 counts like the
+            # masks above), so default bf16 MXU passes would cost parity.
+            v = (
+                jnp.dot(
+                    a2,
+                    v,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                / float(k2)
             )
-            / float(k2)
-        )
 
     # Jaccard via the L1 identity: sum_k min(a,b) = (S_a + S_b - |a-b|_1)/2.
-    s = jnp.sum(v, axis=1)
-    l1 = l1_distance(v, impl=l1_impl)
-    min_sum = 0.5 * (s[:, None] + s[None, :] - l1)
-    jaccard = 1.0 - min_sum / (2.0 - min_sum)
+    with jax.named_scope("rr_l1"):
+        s = jnp.sum(v, axis=1)
+        l1 = l1_distance(v, impl=l1_impl)
+        min_sum = 0.5 * (s[:, None] + s[None, :] - l1)
+        jaccard = 1.0 - min_sum / (2.0 - min_sum)
 
-    final = jaccard * (1.0 - lambda_value) + orig * lambda_value
-    return jnp.maximum(final, 0.0)
+        final = jaccard * (1.0 - lambda_value) + orig * lambda_value
+        return jnp.maximum(final, 0.0)
 
 
 def re_ranking(

@@ -299,72 +299,43 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
         else:
             final_stripe = jnp.zeros((1, 1), jnp.float32)
 
-        # ---- phase 3: eps via two exact histogram sweeps ----------------
-        # Bin classification must be IDENTICAL across sweeps (recomputing
-        # `(fd - lo) / w` with different lo/w pairings drifts by an ulp and
-        # loses the k-th value), so both sweeps classify with the same
-        # integer-index expressions and the fine sweep carries per-bin
-        # (count, sum, min) — the k-th smallest and the below-k mass then
-        # come out in closed form, no third sweep.
+        # ---- phase 3: sampled-bounds single-sweep eps + adjacency -------
+        # The former design spent a dedicated coarse sweep (Pallas L1 +
+        # histogram, 3.85 s at N=16,384) just to LOCATE the k-th value's
+        # bin before the fine sweep could run. This design samples ONE
+        # chunk per device (1/n_chunks of a sweep) to ESTIMATE the eps
+        # region, then does everything in a single main sweep:
+        #   - exact reductions: total pair count, count/sum below r_lo;
+        #   - definite adjacency fd <= r_lo (bit-packed inline);
+        #   - exact approx_min_k compaction of every pair in (r_lo, r_hi].
+        # The k-th value and eps then come out of the compacted view in
+        # closed form (two-level sub-ulp histogram over (r, cap) arrays).
+        # The sample carries NO exactness burden: post-hoc checks verify
+        # (a) the k-th value landed inside (r_lo, r_hi] (exact counts),
+        # (b) no row overflowed cap, (c) eps itself landed in the region;
+        # a mesh-uniform lax.cond re-runs full sweeps if any check fails.
         hi0 = jnp.float32(1.0 + lambda_value)  # jaccard <= 1, orig <= 1
         w0 = hi0 / _BINS
 
         def cidx(fd):
             return jnp.clip((fd / w0).astype(jnp.int32), 0, _BINS - 1)
 
-        def sweep_coarse(c, carry):
-            hist, total = carry
-            fd = final_chunk(c)
-            valid = chunk_valid(c) & (fd != 0.0)
-            total += jnp.sum(valid.astype(jnp.int32))
-            # Comparison histogram, not scatter: TPU scatter serializes to
-            # ~9 ns/element (2.35 s for this sweep at N=16,384, measured);
-            # an == broadcast against the bin iota reduces on the VPU in
-            # one fused pass instead (same counts, bit-identical bin0).
+        def hist_full(fd, valid):
+            """(chunk, npad)-element histogram at _BINS bins, backend-tuned.
+
+            TPU: ==-against-iota compare-reduce on the VPU (scatter
+            serializes to ~9 ns/element there — docs/streaming_profile.md:
+            1.47 s vs 2.35 s per full sweep). CPU (the test mesh): the same
+            compare-reduce lowers pathologically in XLA:CPU (measured
+            ~100x slower than scatter), so scatter-add it is. Counts are
+            identical either way.
+            """
             ci = jnp.where(valid, cidx(fd), _BINS)
-            onehot = ci[:, :, None] == jnp.arange(_BINS, dtype=jnp.int32)
-            hist = hist + jnp.sum(onehot, axis=(0, 1), dtype=jnp.int32)
-            return hist, total
-
-        with jax.named_scope("s_p3_coarse"):
-            hist0, total = jax.lax.fori_loop(
-                0, n_chunks, sweep_coarse,
-                (jnp.zeros((_BINS,), jnp.int32), jnp.int32(0)),
-            )
-        hist0 = jax.lax.psum(hist0, "data")
-        total = jax.lax.psum(total, "data")
-        k = jnp.maximum(
-            jnp.round(rho * total.astype(jnp.float32)).astype(jnp.int32), 1
-        )
-        cum0 = jnp.cumsum(hist0)
-        bin0 = jnp.searchsorted(cum0, k, side="left").astype(jnp.int32)
-        lo1 = bin0.astype(jnp.float32) * w0
-        w1 = w0 / _BINS
-
-        def fidx(fd):
-            return jnp.clip(((fd - lo1) / w1).astype(jnp.int32), 0, _BINS - 1)
-
-        # ---- eps bounds from the coarse histogram alone -----------------
-        # eps = (sum of the k smallest)/k, and every one of those k values
-        # sits in a known coarse bin, so bin edges bound the mean to within
-        # one bin width. The extra -+w0 margin absorbs all fp rounding in
-        # both the bin classification (fd/w0) and this bound arithmetic.
-        # The fine sweep uses [eps_lo, eps_hi] to emit the phase-4
-        # adjacency early: pairs <= eps_lo are definitely in, pairs
-        # > eps_hi definitely out, and the narrow band between is kept as
-        # per-row candidates resolved once eps is exact — saving the
-        # dedicated adjacency sweep (one of three full N^2 re-rank
-        # recomputes; ROADMAP r2 item 3 / VERDICT r2 next #2).
-        kf = k.astype(jnp.float32)
-        below0 = jnp.where(bin0 > 0, cum0[jnp.maximum(bin0 - 1, 0)], 0)
-        bins_lo = jnp.arange(_BINS, dtype=jnp.float32) * w0
-        cnt_below = jnp.where(jnp.arange(_BINS) < bin0,
-                              hist0.astype(jnp.float32), 0.0)
-        rem = (k - below0).astype(jnp.float32)
-        eps_lo = (jnp.sum(cnt_below * bins_lo)
-                  + rem * bin0.astype(jnp.float32) * w0) / kf - w0
-        eps_hi = (jnp.sum(cnt_below * (bins_lo + w0))
-                  + rem * (bin0.astype(jnp.float32) + 1.0) * w0) / kf + w0
+            if on_tpu():
+                one = ci[:, :, None] == jnp.arange(_BINS, dtype=jnp.int32)
+                return jnp.sum(one, axis=(0, 1), dtype=jnp.int32)
+            return jnp.zeros((_BINS + 1,), jnp.int32) \
+                .at[ci.ravel()].add(1)[:_BINS]
 
         from ssg_tpu.ops.bits import pack_bits, popcount, unpack_bits
         from ssg_tpu.parallel.ring import stripe_transpose_packed
@@ -372,52 +343,79 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
         nbytes = npad // 8
         cap = min(band_cap, npad)
 
-        # ---- fine sweep: compacting, almost scatter-free ----------------
-        # TPU scatter costs ~2 s per full (chunk x npad)-element pass at
-        # N=16,384 (docs/streaming_profile.md): five such passes made the
-        # old fine sweep 12 s against 2.4 s of L1. This sweep keeps only
-        # cheap masked reductions, the bit-packed definite adjacency
-        # (pack_bits is an elementwise fusion), and ONE exact approx_min_k
-        # per chunk: every pair in the eps-relevant region — the k-th-value
-        # coarse bin (fine histogram) plus the eps uncertainty band
-        # (adjacency) — is compacted to <= cap slots per row. The fine
-        # histogram and band resolution then run over (r, cap) arrays.
-        # Exactness never depends on cap: if any row's region overflows,
-        # a mesh-uniform lax.cond re-runs the full-scatter fine histogram
-        # and a dedicated adjacency sweep.
-        def sweep_fine(c, carry):
-            cnt_lo, sum_lo, adj_acc, cc_acc, cf_acc, ovf = carry
+        with jax.named_scope("s_p3_sample"):
+            fd0 = final_chunk(0)
+            tri0 = chunk_valid(0) & (fd0 != 0.0)
+            hs = jax.lax.psum(hist_full(fd0, tri0), "data")  # P sample chunks
+
+        # Sampled eps/kth region (generous slack; verified post-hoc).
+        s_total = jnp.sum(hs)
+        k_s = jnp.maximum(jnp.round(
+            rho * s_total.astype(jnp.float32)).astype(jnp.int32), 1)
+        cum_s = jnp.cumsum(hs)
+        b_s = jnp.minimum(
+            jnp.searchsorted(cum_s, k_s, side="left").astype(jnp.int32),
+            _BINS - 1)
+        below_s = jnp.where(b_s > 0, cum_s[jnp.maximum(b_s - 1, 0)], 0)
+        bins_lo = jnp.arange(_BINS, dtype=jnp.float32) * w0
+        mask_s = jnp.arange(_BINS) < b_s
+        hsf = jnp.where(mask_s, hs, 0).astype(jnp.float32)
+        rem_s = jnp.maximum(k_s - below_s, 0).astype(jnp.float32)
+        ksf = k_s.astype(jnp.float32)
+        e_lo = (jnp.sum(hsf * bins_lo) + rem_s * b_s.astype(jnp.float32)
+                * w0) / ksf
+        e_hi = (jnp.sum(hsf * (bins_lo + w0))
+                + rem_s * (b_s.astype(jnp.float32) + 1.0) * w0) / ksf
+        slack = 64.0 * w0
+        r_lo = jnp.maximum(jnp.minimum(e_lo, b_s.astype(jnp.float32) * w0)
+                           - slack, 0.0)
+        r_hi = jnp.maximum((b_s.astype(jnp.float32) + 1.0) * w0,
+                           e_hi) + slack
+
+        # ---- main sweep: reductions + definite adjacency + compaction ---
+        def sweep_main(c, carry):
+            (total, cnt_below, sum_below, cnt_rtri,
+             adj_acc, cc_acc, cf_acc, ovf) = carry
             fd = final_chunk(c)
             tri = chunk_valid(c) & (fd != 0.0)
-            ci = cidx(fd)
-            below = tri & (ci < bin0)
-            cnt_lo += jnp.sum(below.astype(jnp.int32))
-            sum_lo += jnp.sum(jnp.where(below, fd, 0.0))
+            total += jnp.sum(tri.astype(jnp.int32))
+            below = tri & (fd <= r_lo)
+            cnt_below += jnp.sum(below.astype(jnp.int32))
+            sum_below += jnp.sum(jnp.where(below, fd, 0.0))
             if cap > 0:
                 # Full mask for adjacency (both triangles: phase 4
                 # symmetrizes by OR, but consumes every row's bits).
                 rows = row0_global + c * b + jnp.arange(b, dtype=jnp.int32)
                 ok = (rows[:, None] < n) & col_valid[None, :]
                 adj_acc = jax.lax.dynamic_update_slice(
-                    adj_acc, pack_bits((fd <= eps_lo) & ok), (c * b, 0))
-                inbin = tri & (ci == bin0)
-                band = ok & (fd > eps_lo) & (fd <= eps_hi)
-                region = inbin | band
+                    adj_acc, pack_bits((fd <= r_lo) & ok), (c * b, 0))
+                inreg = (fd > r_lo) & (fd <= r_hi)
+                cnt_rtri += jnp.sum((tri & inreg).astype(jnp.int32))
+                region = ok & inreg
                 ovf = ovf | jnp.any(jnp.sum(region, axis=1) > cap)
                 key = jnp.where(region, fd, jnp.inf)
-                vals, idxs = jax.lax.approx_min_k(key, cap,
-                                                  recall_target=1.0)
+                if on_tpu():
+                    # Exact TPU top-k via the two-pass partial reduction
+                    # (0.19 s/sweep at N=16,384, cap=256).
+                    vals, idxs = jax.lax.approx_min_k(key, cap,
+                                                      recall_target=1.0)
+                else:
+                    # XLA:CPU emulates approx_min_k with reduce-window
+                    # (measured 10x slower than its sort at this cap).
+                    neg, idxs = jax.lax.top_k(-key, cap)
+                    vals = -neg
                 cc_acc = jax.lax.dynamic_update_slice(cc_acc, idxs,
                                                       (c * b, 0))
                 cf_acc = jax.lax.dynamic_update_slice(cf_acc, vals,
                                                       (c * b, 0))
-            return cnt_lo, sum_lo, adj_acc, cc_acc, cf_acc, ovf
+            return (total, cnt_below, sum_below, cnt_rtri,
+                    adj_acc, cc_acc, cf_acc, ovf)
 
-        with jax.named_scope("s_p3_fine_adj"):
-            (cnt_lo, sum_lo, adj_in, cand_col, cand_fd,
-             band_ovf) = jax.lax.fori_loop(
-                0, n_chunks, sweep_fine,
-                (jnp.int32(0), jnp.float32(0.0),
+        with jax.named_scope("s_p3_main"):
+            (total, cnt_below, sum_below, cnt_rtri,
+             adj_in, cand_col, cand_fd, reg_ovf) = jax.lax.fori_loop(
+                0, n_chunks, sweep_main,
+                (jnp.int32(0), jnp.int32(0), jnp.float32(0.0), jnp.int32(0),
                  jnp.zeros((r, nbytes), jnp.uint8),
                  jnp.full((r, max(cap, 1)), npad, jnp.int32),
                  jnp.full((r, max(cap, 1)), jnp.inf, jnp.float32),
@@ -425,92 +423,166 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
                  # sweeps always run (escape hatch + deterministic tests).
                  jnp.bool_(cap == 0)),
             )
-        cnt_lo = jax.lax.psum(cnt_lo, "data")
-        sum_lo = jax.lax.psum(sum_lo, "data")
-        band_fallback = jax.lax.pmax(band_ovf.astype(jnp.int32), "data") > 0
+        total = jax.lax.psum(total, "data")
+        cnt_below = jax.lax.psum(cnt_below, "data")
+        sum_below = jax.lax.psum(sum_below, "data")
+        cnt_rtri = jax.lax.psum(cnt_rtri, "data")
+        ovf_any = jax.lax.pmax(reg_ovf.astype(jnp.int32), "data") > 0
+        k = jnp.maximum(
+            jnp.round(rho * total.astype(jnp.float32)).astype(jnp.int32), 1
+        )
+        # Exact post-hoc check (a)+(b): the k-th smallest pair is inside
+        # the compacted region, and no row overflowed.
+        p_fast = (cnt_below < k) & (k <= cnt_below + cnt_rtri) & ~ovf_any
 
-        def eps_from(fhist, fsum, fmin):
-            """Closed-form eps from the (local) fine histogram triple."""
+        rows_g = row0_global + jnp.arange(r, dtype=jnp.int32)
+        live = jnp.isfinite(cand_fd)
+        tri_c = live & (cand_fd != 0.0) & (cand_col > rows_g[:, None])
+
+        def eps_fast(_):
+            """Closed-form eps from the compacted region only.
+
+            Two-level histogram over (r_lo, r_hi]: level-2 bin width is
+            (r_hi - r_lo)/_BINS^2 <= ~5e-10, sub-ulp for values >= ~0.005
+            (stronger than the old full-range guarantee of >= hi0/8);
+            tied values below that share a bin whose min is still the
+            correct order statistic to within the tie collapse.
+            """
+            fdr = cand_fd.ravel()
+            w_a = (r_hi - r_lo) / _BINS
+            i_a = jnp.clip(((cand_fd - r_lo) / w_a).astype(jnp.int32),
+                           0, _BINS - 1)
+            flat_a = jnp.where(tri_c, i_a, _BINS).ravel()
+            hist_a = jnp.zeros((_BINS + 1,), jnp.int32).at[flat_a].add(
+                tri_c.ravel().astype(jnp.int32))
+            sum_a = jnp.zeros((_BINS + 1,), jnp.float32).at[flat_a].add(
+                jnp.where(tri_c.ravel(), fdr, 0.0))
+            hist_a = jax.lax.psum(hist_a[:_BINS], "data")
+            sum_a = jax.lax.psum(sum_a[:_BINS], "data")
+            cum_a = cnt_below + jnp.cumsum(hist_a)
+            bin_a = jnp.searchsorted(cum_a, k, side="left").astype(jnp.int32)
+            lo_b = r_lo + bin_a.astype(jnp.float32) * w_a
+            w_b = w_a / _BINS
+            in_a = tri_c & (i_a == bin_a)
+            i_b = jnp.clip(((cand_fd - lo_b) / w_b).astype(jnp.int32),
+                           0, _BINS - 1)
+            flat_b = jnp.where(in_a, i_b, _BINS).ravel()
+            hist_b = jnp.zeros((_BINS + 1,), jnp.int32).at[flat_b].add(
+                in_a.ravel().astype(jnp.int32))
+            sum_b = jnp.zeros((_BINS + 1,), jnp.float32).at[flat_b].add(
+                jnp.where(in_a.ravel(), fdr, 0.0))
+            min_b = jnp.full((_BINS + 1,), jnp.inf, jnp.float32) \
+                .at[flat_b].min(jnp.where(in_a.ravel(), fdr, jnp.inf))
+            hist_b = jax.lax.psum(hist_b[:_BINS], "data")
+            sum_b = jax.lax.psum(sum_b[:_BINS], "data")
+            min_b = jax.lax.pmin(min_b[:_BINS], "data")
+            below_a_cnt = jnp.where(bin_a > 0,
+                                    cum_a[jnp.maximum(bin_a - 1, 0)],
+                                    cnt_below)
+            cum_b = below_a_cnt + jnp.cumsum(hist_b)
+            bin_b = jnp.searchsorted(cum_b, k, side="left").astype(jnp.int32)
+            below_cnt = jnp.where(bin_b > 0,
+                                  cum_b[jnp.maximum(bin_b - 1, 0)],
+                                  below_a_cnt)
+            below_sum = sum_below \
+                + jnp.where(bin_a > 0,
+                            jnp.cumsum(sum_a)[jnp.maximum(bin_a - 1, 0)],
+                            0.0) \
+                + jnp.where(bin_b > 0,
+                            jnp.cumsum(sum_b)[jnp.maximum(bin_b - 1, 0)],
+                            0.0)
+            kth = min_b[bin_b]
+            return (below_sum + (k - below_cnt).astype(jnp.float32) * kth) \
+                / k.astype(jnp.float32)
+
+        def eps_slow(_):
+            """Sample misled or capacity overflowed: exact two-sweep eps
+            (comparison-histogram coarse sweep to locate the k-th bin,
+            then a full-scatter fine sweep — the pre-sampling program)."""
+            def coarse_body(c, h):
+                fd = final_chunk(c)
+                tri = chunk_valid(c) & (fd != 0.0)
+                return h + hist_full(fd, tri)
+
+            hist0 = jax.lax.fori_loop(
+                0, n_chunks, coarse_body, jnp.zeros((_BINS,), jnp.int32))
+            hist0 = jax.lax.psum(hist0, "data")
+            cum0 = jnp.cumsum(hist0)
+            bin0 = jnp.searchsorted(cum0, k, side="left").astype(jnp.int32)
+            lo1 = bin0.astype(jnp.float32) * w0
+            w1 = w0 / _BINS
+
+            def fine_body(c, carry):
+                cnt_lo, sum_lo, fhist, fsum, fmin = carry
+                fd = final_chunk(c)
+                tri = chunk_valid(c) & (fd != 0.0)
+                ci = cidx(fd)
+                below = tri & (ci < bin0)
+                cnt_lo += jnp.sum(below.astype(jnp.int32))
+                sum_lo += jnp.sum(jnp.where(below, fd, 0.0))
+                inbin = tri & (ci == bin0)
+                fi = jnp.clip(((fd - lo1) / w1).astype(jnp.int32),
+                              0, _BINS - 1)
+                flat = jnp.where(inbin, fi, _BINS).ravel()
+                fdr = fd.ravel()
+                fhist = fhist.at[flat].add(1)
+                fsum = fsum.at[flat].add(
+                    jnp.where(inbin.ravel(), fdr, 0.0))
+                fmin = fmin.at[flat].min(
+                    jnp.where(inbin.ravel(), fdr, jnp.inf))
+                return cnt_lo, sum_lo, fhist, fsum, fmin
+
+            cnt_lo, sum_lo, fhist, fsum, fmin = jax.lax.fori_loop(
+                0, n_chunks, fine_body,
+                (jnp.int32(0), jnp.float32(0.0),
+                 jnp.zeros((_BINS + 1,), jnp.int32),
+                 jnp.zeros((_BINS + 1,), jnp.float32),
+                 jnp.full((_BINS + 1,), jnp.inf, jnp.float32)),
+            )
+            cnt_lo = jax.lax.psum(cnt_lo, "data")
+            sum_lo = jax.lax.psum(sum_lo, "data")
             fhist = jax.lax.psum(fhist[:_BINS], "data")
             fsum = jax.lax.psum(fsum[:_BINS], "data")
             fmin = jax.lax.pmin(fmin[:_BINS], "data")
             cum1 = cnt_lo + jnp.cumsum(fhist)
             bin1 = jnp.searchsorted(cum1, k, side="left").astype(jnp.int32)
-            # Everything strictly below the k-th bin, then the k-th bin's
-            # min is the k-th smallest value (fine bins are narrower than
-            # one fp32 ulp for values >= hi0/8; ties below that share one
-            # bin and the min is still the correct k-th order statistic
-            # because the whole bin collapses to values within an ulp).
-            below_cnt = jnp.where(bin1 > 0, cum1[jnp.maximum(bin1 - 1, 0)],
-                                  cnt_lo)
+            below_cnt = jnp.where(bin1 > 0,
+                                  cum1[jnp.maximum(bin1 - 1, 0)], cnt_lo)
             below_sum = sum_lo + jnp.where(
-                bin1 > 0, jnp.cumsum(fsum)[jnp.maximum(bin1 - 1, 0)], 0.0
-            )
+                bin1 > 0, jnp.cumsum(fsum)[jnp.maximum(bin1 - 1, 0)], 0.0)
             kth = fmin[bin1]
             return (below_sum + (k - below_cnt).astype(jnp.float32) * kth) \
                 / k.astype(jnp.float32)
 
-        # ---- phase 4: eps resolution + bit-packed adjacency -------------
+        with jax.named_scope("s_p3_eps"):
+            # Mesh-uniform predicates: every device takes the same branch,
+            # so the fallback's ring collectives stay aligned.
+            eps = jax.lax.cond(p_fast, eps_fast, eps_slow, operand=None)
+
+        # ---- phase 4: bit-packed adjacency --------------------------------
         # The adjacency is the pipeline's only persistent O(N^2/P) state;
         # packing 8 columns/byte (ops/bits.py) shrinks it 8x — consumers
-        # unpack (b, npad) row chunks on the fly.
-        def resolve_fast(_):
-            # Fine histogram over the compacted candidates only (upper-
-            # triangle pairs in bin0; all recomputable from (row, col, fd),
-            # with the identical cidx/fidx classification expressions).
-            rows_g = row0_global + jnp.arange(r, dtype=jnp.int32)
-            live = jnp.isfinite(cand_fd)
-            inbin_c = live & (cand_fd != 0.0) & (cidx(cand_fd) == bin0) & \
-                (cand_col > rows_g[:, None])
-            flat = jnp.where(inbin_c, fidx(cand_fd), _BINS).ravel()
-            fdr = cand_fd.ravel()
-            w = jnp.where(inbin_c.ravel(), fdr, 0.0)
-            m = jnp.where(inbin_c.ravel(), fdr, jnp.inf)
-            fhist = jnp.zeros((_BINS + 1,), jnp.int32).at[flat].add(
-                inbin_c.ravel().astype(jnp.int32))
-            fsum = jnp.zeros((_BINS + 1,), jnp.float32).at[flat].add(w)
-            fmin = jnp.full((_BINS + 1,), jnp.inf, jnp.float32) \
-                .at[flat].min(m)
-            eps = eps_from(fhist, fsum, fmin)
-            # Band candidates with fd <= eps join the definite adjacency.
-            # fd <= eps_lo entries are already in adj_in (their bit is set,
+        # unpack (b, npad) row chunks on the fly. Exact check (c): the
+        # definite/band split is only valid when eps itself landed inside
+        # (r_lo, r_hi] — otherwise one dedicated sweep rebuilds it.
+        adj_ok = p_fast & (eps >= r_lo) & (eps <= r_hi)
+        band_fallback = ~adj_ok
+
+        def adj_fast(_):
+            # Region candidates with fd <= eps join the definite adjacency.
+            # fd <= r_lo entries are already in adj_in (their bit is set,
             # so they must NOT be added again — scatter-ADD is OR only for
-            # bits known to be zero), hence the strict > eps_lo guard.
-            sel = live & (cand_fd > eps_lo) & (cand_fd <= eps)
+            # bits known to be zero), hence the strict > r_lo guard.
+            sel = live & (cand_fd > r_lo) & (cand_fd <= eps)
             byte = jnp.where(sel, cand_col // 8, nbytes)  # nbytes: dropped
             val = jnp.where(
                 sel, jnp.uint8(1) << (cand_col & 7).astype(jnp.uint8),
                 jnp.uint8(0),
             )
-            adj = adj_in.at[jnp.arange(r, dtype=jnp.int32)[:, None], byte] \
+            return adj_in.at[jnp.arange(r, dtype=jnp.int32)[:, None], byte] \
                 .add(val, mode="drop")
-            return eps, adj
 
-        def resolve_slow(_):
-            # Capacity overflow (degenerate/tied data): the compacted view
-            # may be incomplete, so BOTH the fine histogram and the
-            # adjacency re-run as full sweeps (the pre-r3 program).
-            def hist_body(c, carry):
-                fhist, fsum, fmin = carry
-                fd = final_chunk(c)
-                tri = chunk_valid(c) & (fd != 0.0)
-                inbin = tri & (cidx(fd) == bin0)
-                flat = jnp.where(inbin, fidx(fd), _BINS).ravel()
-                fdr = fd.ravel()
-                fhist = fhist.at[flat].add(1)
-                fsum = fsum.at[flat].add(jnp.where(inbin.ravel(), fdr, 0.0))
-                fmin = fmin.at[flat].min(
-                    jnp.where(inbin.ravel(), fdr, jnp.inf))
-                return fhist, fsum, fmin
-
-            fhist, fsum, fmin = jax.lax.fori_loop(
-                0, n_chunks, hist_body,
-                (jnp.zeros((_BINS + 1,), jnp.int32),
-                 jnp.zeros((_BINS + 1,), jnp.float32),
-                 jnp.full((_BINS + 1,), jnp.inf, jnp.float32)),
-            )
-            eps = eps_from(fhist, fsum, fmin)
-
+        def adj_sweep(_):
             def adj_body(c, acc):
                 fd = final_chunk(c)
                 rows = row0_global + c * b + jnp.arange(b, dtype=jnp.int32)
@@ -519,16 +591,12 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
                     acc, pack_bits((fd <= eps) & ok), (c * b, 0)
                 )
 
-            adj = jax.lax.fori_loop(
+            return jax.lax.fori_loop(
                 0, n_chunks, adj_body, jnp.zeros((r, nbytes), jnp.uint8)
             )
-            return eps, adj
 
         with jax.named_scope("s_p4_adj"):
-            # Mesh-uniform predicate (pmax above): every device takes the
-            # same branch, so the fallback's ring collectives stay aligned.
-            eps, adj_p = jax.lax.cond(band_fallback, resolve_slow,
-                                      resolve_fast, operand=None)
+            adj_p = jax.lax.cond(adj_ok, adj_fast, adj_sweep, operand=None)
             # Symmetrize: bitwise OR on packed bytes IS set union.
             adj_p = adj_p | stripe_transpose_packed(adj_p)
         big = jnp.int32(npad)
