@@ -78,11 +78,18 @@ def main():
     mesh = make_mesh(1)
     ckw = dict(k1=20, k2=6, rho=1.6e-3, min_samples=4, chunk=1024)
 
-    def cluster_groups_streaming(feats):
+    def cluster_groups_streaming(feats, verbose=False):
         out = []
         for g in range(3):
-            labels, nc, eps = streaming_cluster(feats[g], mesh, **ckw)
-            out.append((np.asarray(labels), int(nc), float(eps)))
+            diag = {}
+            t0 = time.perf_counter()
+            labels, nc, eps = streaming_cluster(feats[g], mesh, diag=diag,
+                                                **ckw)
+            labels = np.asarray(labels)
+            if verbose:
+                print(f"    group {g}: {time.perf_counter() - t0:.2f}s "
+                      f"fallback={diag['band_fallback']}", flush=True)
+            out.append((labels, int(nc), float(eps)))
         return out
 
     # Copy: the train step donates state buffers (donate_argnums), and the
@@ -129,7 +136,7 @@ def main():
     t_extract = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    groups = cluster_groups_streaming(feats)
+    groups = cluster_groups_streaming(feats, verbose=True)
     t_cluster = time.perf_counter() - t0
 
     labels = np.stack([g[0] for g in groups])

@@ -233,14 +233,15 @@ def _phases12(f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile):
         sum(jnp.sum(vb, axis=1) for vb in v_blks), "data", tiled=True
     )
 
-    def final_chunk(c):
-        """(b, npad) final re-ranked distances of my chunk c rows."""
-        rows0 = c * b
-        d = dist_chunk(c)
-        orig = d / jax.lax.dynamic_slice(row_scale, (rows0,), (b,))[:, None]
-        vc_blks = tuple(
-            jax.lax.dynamic_slice(vb, (rows0, 0), (b, cb)) for vb in v_blks
-        )
+    def _finalize(fc, scale_rows, vc_blks):
+        """Re-ranked distances of the given feature/V rows vs all columns."""
+        x2 = jnp.sum(fc * fc, axis=1, keepdims=True)
+        d = jnp.maximum(
+            x2 + y2[None, :] - 2.0 * jnp.dot(
+                fc, f_all.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ), 0.0)
+        orig = d / scale_rows[:, None]
         # ||V_i - V_j||_1 is additive over column blocks.
         l1 = sum(
             ring_pairwise(vcb, vb, l1_tile)
@@ -253,13 +254,38 @@ def _phases12(f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile):
             jaccard * (1.0 - lambda_value) + orig * lambda_value, 0.0
         )
 
+    def final_chunk(c):
+        """(b, npad) final re-ranked distances of my chunk c rows."""
+        rows0 = c * b
+        return _finalize(
+            jax.lax.dynamic_slice(f_local, (rows0, 0),
+                                  (b, f_local.shape[1])),
+            jax.lax.dynamic_slice(row_scale, (rows0,), (b,)),
+            tuple(jax.lax.dynamic_slice(vb, (rows0, 0), (b, cb))
+                  for vb in v_blks),
+        )
+
+    def final_rows(rows_local):
+        """Gather variant of ``final_chunk`` for non-contiguous rows (the
+        phase-3 sampler strides rows across the whole stripe — a contiguous
+        chunk is a biased sample when inputs are identity-ordered)."""
+        return _finalize(
+            jnp.take(f_local, rows_local, axis=0),
+            jnp.take(row_scale, rows_local),
+            tuple(jnp.take(vb, rows_local, axis=0) for vb in v_blks),
+        )
+
+    def rows_valid(rows_global):
+        cols = jnp.arange(npad, dtype=jnp.int32)
+        return (cols[None, :] > rows_global[:, None]) & \
+            (rows_global[:, None] < n) & col_valid[None, :]
+
     def chunk_valid(c):
         rows = row0_global + c * b + jnp.arange(b, dtype=jnp.int32)
-        cols = jnp.arange(npad, dtype=jnp.int32)
-        return (cols[None, :] > rows[:, None]) & (rows[:, None] < n) & \
-            col_valid[None, :]
+        return rows_valid(rows)
 
-    return final_chunk, chunk_valid, row0_global, col_valid, npad, r
+    return (final_chunk, final_rows, rows_valid, chunk_valid, row0_global,
+            col_valid, npad, r)
 
 
 @functools.partial(
@@ -283,7 +309,8 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
         l1_impl == "auto" and on_tpu()) else _l1_xla
 
     def impl(f_local):
-        final_chunk, chunk_valid, row0_global, col_valid, _, _ = _phases12(
+        (final_chunk, final_rows, rows_valid, chunk_valid, row0_global,
+         col_valid, _, _) = _phases12(
             f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile
         )
 
@@ -344,8 +371,24 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
         cap = min(band_cap, npad)
 
         with jax.named_scope("s_p3_sample"):
-            fd0 = final_chunk(0)
-            tri0 = chunk_valid(0) & (fd0 != 0.0)
+            # One chunk's worth of rows spread over the whole stripe as a
+            # golden-ratio Weyl sequence (static coprime multiplier, so the
+            # map i -> i*c mod r is a bijection: rows are distinct and
+            # equidistribute in EVERY residue class). Measured on real
+            # identity-ordered features (N=8192): a contiguous chunk
+            # biases the mean estimate +215 bins; a plain stride aligns
+            # with the data's period-8 structure (estimates swing 0.56 to
+            # 0.69 across offsets); Weyl rows match the truth within
+            # ~±37 bins, inside the slack.
+            import math
+            c_mul = max(int(round(0.6180339887 * r)) | 1, 1)
+            while math.gcd(c_mul, r) != 1:
+                c_mul += 2
+            rows_s = jnp.asarray(
+                np.fromiter(((i * c_mul) % r for i in range(b)),
+                            np.int32, count=b))
+            fd0 = final_rows(rows_s)
+            tri0 = rows_valid(row0_global + rows_s) & (fd0 != 0.0)
             hs = jax.lax.psum(hist_full(fd0, tri0), "data")  # P sample chunks
 
         # Sampled eps/kth region (generous slack; verified post-hoc).
@@ -366,9 +409,13 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
                 * w0) / ksf
         e_hi = (jnp.sum(hsf * (bins_lo + w0))
                 + rem_s * (b_s.astype(jnp.float32) + 1.0) * w0) / ksf
+        # Lower edge guards eps (a MEAN of the k smallest — on clustered
+        # real data it sits well below the k-th value, and its sample
+        # estimate carries the noise of the whole below-kth distribution),
+        # so it gets double the slack of the kth-bin upper edge.
         slack = 64.0 * w0
         r_lo = jnp.maximum(jnp.minimum(e_lo, b_s.astype(jnp.float32) * w0)
-                           - slack, 0.0)
+                           - 2.0 * slack, 0.0)
         r_hi = jnp.maximum((b_s.astype(jnp.float32) + 1.0) * w0,
                            e_hi) + slack
 
@@ -567,6 +614,15 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
         # (r_lo, r_hi] — otherwise one dedicated sweep rebuilds it.
         adj_ok = p_fast & (eps >= r_lo) & (eps <= r_hi)
         band_fallback = ~adj_ok
+        # Diagnostic bit code for perf attribution (diag["fallback_code"]):
+        # 1 = a row overflowed cap, 2 = k-th pair outside the sampled
+        # region, 4 = eps outside the region.
+        fb_code = (ovf_any.astype(jnp.int32)
+                   + 2 * (~((cnt_below < k) & (k <= cnt_below + cnt_rtri)))
+                   .astype(jnp.int32)
+                   + 4 * (~((eps >= r_lo) & (eps <= r_hi))).astype(jnp.int32))
+        diag_vec = jnp.stack([r_lo, r_hi, e_lo, e_hi,
+                              cnt_rtri.astype(jnp.float32)])
 
         def adj_fast(_):
             # Region candidates with fd <= eps join the definite adjacency.
@@ -675,15 +731,16 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
             raw < big, jnp.take(root_rank, jnp.where(raw < big, raw, 0)), -1
         )
         return (out.astype(jnp.int32), jnp.sum(is_root.astype(jnp.int32)),
-                eps, band_fallback, final_stripe)
+                eps, band_fallback, fb_code, diag_vec, final_stripe)
 
-    labels, n_clusters, eps, band_fallback, final = jax.shard_map(
+    (labels, n_clusters, eps, band_fallback, fb_code, diag_vec,
+     final) = jax.shard_map(
         impl, mesh=mesh, in_specs=P("data", None),
-        out_specs=(P(), P(), P(), P(),
+        out_specs=(P(), P(), P(), P(), P(), P(),
                    P("data", None) if with_final else P()),
         check_vma=False,
     )(f)
-    return labels, n_clusters, eps, band_fallback, final
+    return labels, n_clusters, eps, band_fallback, fb_code, diag_vec, final
 
 
 def _stripe_config(features, mesh, chunk, col_blocks):
@@ -770,7 +827,8 @@ def streaming_cluster(
                                               col_blocks)
     k1 = min(int(k1), n - 1)
     k2 = min(int(k2), n - 1)
-    labels, n_clusters, eps, band_fallback, final = _streaming_impl(
+    (labels, n_clusters, eps, band_fallback, fb_code, diag_vec,
+     final) = _streaming_impl(
         global_put(mesh, f, P("data", None)),
         global_put(mesh, np.int32(n), P()),
         global_put(mesh, np.float32(rho), P()),
@@ -780,6 +838,11 @@ def streaming_cluster(
     )
     if diag is not None:
         diag["band_fallback"] = bool(band_fallback)
+        diag["fallback_code"] = int(fb_code)  # 1 ovf | 2 kth-out | 4 eps-out
+        dv = np.asarray(diag_vec)
+        diag["r_lo"], diag["r_hi"] = float(dv[0]), float(dv[1])
+        diag["e_lo"], diag["e_hi"] = float(dv[2]), float(dv[3])
+        diag["region_tri_pairs"] = int(dv[4])
     if return_final:
         return labels[:n], n_clusters, eps, final[:n, :n]
     return labels[:n], n_clusters, eps
@@ -805,7 +868,7 @@ def _rerank_eval_impl(f, n, qids_pad, qcams_pad, g_ids, g_cams, nq, mesh,
         l1_impl == "auto" and on_tpu()) else _l1_xla
 
     def impl(f_local, qids_pad, qcams_pad, g_ids, g_cams):
-        final_chunk, _, row0_global, _, _, _ = _phases12(
+        final_chunk, _, _, _, row0_global, _, _, _ = _phases12(
             f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile
         )
 
