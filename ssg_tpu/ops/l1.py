@@ -49,8 +49,11 @@ def _l1_pallas(
     # a SINGLE K step (tk = whole padded row) is another 1.7x (39.4 ->
     # 22.7 ms at N=3368; 7.9 -> 4.7 at N=2000) — the K-grid revolutions
     # were re-fetching the accumulator tile; one step keeps it live. Used
-    # whenever the row pair fits VMEM (dp <= 6144 -> ~12.6 MB of the 16 MB
-    # scoped limit); larger rows fall back to tk=2048 blocks.
+    # whenever the row pair fits VMEM: dp <= 4096 (~8.7 MB of the 16 MB
+    # scoped limit; dp = 6144 measured 20.09M inside the streaming program
+    # — Mosaic's scoped accounting exceeds the naive 2x-double-buffer
+    # estimate, so stay at half the limit); larger rows fall back to
+    # tk=2048 blocks.
     tm: int = 128,
     tn: int = 128,
     tk: int | None = None,
@@ -60,7 +63,7 @@ def _l1_pallas(
     n, _ = y.shape
     if tk is None:
         dp_full = round_up(d, 512)
-        tk = dp_full if dp_full <= 6144 else 2048
+        tk = dp_full if dp_full <= 4096 else 2048
     mp, np_, dp = round_up(m, tm), round_up(n, tn), round_up(d, tk)
     xpad = jnp.zeros((mp, dp), jnp.float32).at[:m, :d].set(x.astype(jnp.float32))
     ypad = jnp.zeros((np_, dp), jnp.float32).at[:n, :d].set(y.astype(jnp.float32))
