@@ -5,10 +5,11 @@ The dense chain needs ~6 fp32 N^2 buffers; the streaming path holds one
 V stripe + bool state, so a single 16 GB chip clusters N it couldn't hold
 densely. Usage: perf_streaming.py [N] [chunk] [band_cap] [trace_dir].
 
-band_cap=0 forces the dedicated adjacency sweep (the pre-r3 3-sweep
-program) — the A/B partner of the fused fine-sweep emission (default 256).
-With trace_dir set, the steady-state run is captured with jax.profiler
-for per-phase device-time attribution (VERDICT r2 next #3).
+band_cap=0 forces the dedicated exact sweeps (the pre-bound 3-sweep
+program) — the A/B partner of the bound-and-correct main sweep
+(default -1 = auto-scaled cap, see streaming_cluster). With trace_dir
+set, the steady-state run is captured with jax.profiler for per-phase
+device-time attribution.
 """
 
 import sys
@@ -28,7 +29,8 @@ def main():
     enable_compilation_cache()
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
-    band_cap = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    band_cap = int(sys.argv[3]) if len(sys.argv) > 3 else -1
+    band_cap = None if band_cap < 0 else band_cap  # -1 = auto-scale
     trace_dir = sys.argv[4] if len(sys.argv) > 4 else None
     k = jax.random.PRNGKey(0)
     ids = max(n // 12, 2)

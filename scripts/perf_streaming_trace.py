@@ -37,7 +37,8 @@ def main():
     enable_compilation_cache()
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
-    band_cap = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    band_cap = int(sys.argv[3]) if len(sys.argv) > 3 else -1
+    band_cap = None if band_cap < 0 else band_cap  # -1 = auto-scale
     import numpy as np
 
     k = jax.random.PRNGKey(0)

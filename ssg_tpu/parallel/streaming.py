@@ -11,26 +11,31 @@ state, recomputing distance chunks from features on the fly — the
   phase 2  V stripe:                  per chunk, rebuild masks from lists,
            2/3-expansion via ring GEMMs against the rh bool stripe,
            Gaussian weights; then one ring pass for query expansion.
-  phase 3  eps:                       two histogram sweeps over the final
-           distance chunks (coarse 2^13 bins, then 2^13 bins inside the
-           selected bin — the fine bin is narrower than one fp32 ulp, so
-           the k-th smallest value is recovered EXACTLY, and the
-           mean-of-k-smallest comes out in closed form, no extra sweep).
+  phase 3  eps:                       ONE bound-and-correct main sweep —
+           a sampled chunk estimates the eps region (r_lo, r_hi], then
+           per chunk a bf16 mask-GEMM lower bound fd_lb <= fd (MXU,
+           ops/minsum.py) prunes every pair with fd_lb > r_hi; the few
+           per-row survivors are compacted (exact approx_min_k) and their
+           EXACT distances recomputed from per-row compacted-V (idx, val)
+           tables (S x S compare-select, S ~ 128, vs N-wide dense L1 on
+           the VPU). The k-th value and eps then come out of the compacted
+           view in closed form (two-level sub-ulp histogram); exact
+           post-hoc checks (k-th inside region, no candidate/support
+           overflow, eps inside region) gate a mesh-uniform fallback to
+           dedicated exact sweeps.
   phase 4  DBSCAN:                    adjacency stripe (final <= eps, bit-
            packed) + distributed min-label propagation (sklearn-identical
-           labels). The adjacency is EMITTED DURING the fine eps sweep:
-           the coarse histogram bounds eps to one bin width, so the fine
-           sweep marks pairs <= eps_lo as definitely in, drops pairs
-           > eps_hi, and keeps the narrow band between as per-row
-           candidates resolved once eps is exact — a dedicated adjacency
-           sweep runs only as a fallback when a row's band overflows
-           (degenerate/tied distributions).
+           labels). On the fast path every adjacency pair is already a
+           compacted candidate (fd <= eps <= r_hi), so the stripe is
+           scattered straight from the slots — no adjacency sweep at all.
 
-Per-chip HBM at N=126k, P=16: feats 1 GB + V fp32 4 GB + rh/r bool 2 GB +
-adjacency bool 1 GB + chunk workspace — the MSMT17 config on a v5e-16;
-P=8 covers N ≈ 64k. Compute per sweep is N^2/P-chunked ring work; the
-Jaccard L1 runs 2 sweeps (eps coarse + fine-with-adjacency) on the fast
-path, 3 on the degenerate fallback.
+Per-chip HBM at N=126k, P=16: feats 1 GB + V fp32 4 GB (+ bf16 screen
+copy 2 GB) + rh/r bool 2 GB + adjacency bool 1 GB + compacted V ~130 MB +
+chunk workspace — the MSMT17 config on a v5e-16; P=8 covers N ≈ 64k.
+Compute: the fast path runs ZERO dense fp32 L1 sweeps (one sampled chunk
+excepted) — the N^2/P pair screen rides the MXU at bf16; the exact
+fallbacks (degenerate/tied distributions, overflowed caps) still run the
+dense Pallas L1 chunk sweeps.
 """
 
 from __future__ import annotations
@@ -72,11 +77,20 @@ def _recip_chunk(lists_all: jax.Array, row0: jax.Array, b: int, npad: int):
     return fwd & bwd
 
 
-def _phases12(f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile):
+def _phases12(f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile,
+              support_cap=0):
     """Phases 1-2 (rank lists + V stripe), shared by the clustering and the
     evaluation pipelines. Runs inside shard_map over axis "data"; returns
     the ``final_chunk``/``chunk_valid`` closures (re-ranked distance rows of
-    this shard, computed chunk-by-chunk) plus the shard's row geometry."""
+    this shard, computed chunk-by-chunk) plus the shard's row geometry.
+
+    With ``support_cap > 0`` a final element ``bound_ctx`` is non-None: the
+    bound-and-correct machinery (ops/minsum.py) for the main sweep — V rows
+    compacted to (idx, val) lists and all-gathered (tiny: N x S vs the N x N
+    stripe), a hoisted bf16 V stripe for the MXU screening GEMM, and the
+    ``bound_chunk``/``slot_fd`` closures. ``bound_ctx['sup_ovf']`` flags any
+    V row whose support exceeds support_cap (compaction would under-count
+    ms) — the caller must then take the exact-sweep fallback."""
     r = f_local.shape[0]
     half = int(round(k1 / 2.0))
     me = jax.lax.axis_index("data")
@@ -284,19 +298,97 @@ def _phases12(f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile):
         rows = row0_global + c * b + jnp.arange(b, dtype=jnp.int32)
         return rows_valid(rows)
 
+    bound_ctx = None
+    if support_cap > 0:
+        from ssg_tpu.ops.minsum import (compact_rows, fd_lower, minsum_upper,
+                                        sparse_minsum, support_mask)
+
+        s_sup = min(int(support_cap), npad)
+        # bf16 V stripe, hoisted once (the rotating operand of the
+        # screening GEMM; casting per chunk visit would re-pay the cast
+        # n_chunks times).
+        vbf_blks = tuple(vb.astype(jnp.bfloat16) for vb in v_blks)
+
+        def compact_body(c, carry):
+            ci_acc, cv_acc, ovf = carry
+            rows0 = c * b
+            vrow = jnp.concatenate(
+                [jax.lax.dynamic_slice(vb, (rows0, 0), (b, cb))
+                 for vb in v_blks], axis=1)  # (b, npad)
+            nz = jnp.sum((vrow > 0.0).astype(jnp.int32), axis=1)
+            ovf = ovf | jnp.any(nz > s_sup)
+            idx, val = compact_rows(vrow, s_sup)
+            ci_acc = jax.lax.dynamic_update_slice(ci_acc, idx, (rows0, 0))
+            cv_acc = jax.lax.dynamic_update_slice(cv_acc, val, (rows0, 0))
+            return ci_acc, cv_acc, ovf
+
+        with jax.named_scope("s_p2_compact"):
+            cidx_loc, cval_loc, sup_ovf = jax.lax.fori_loop(
+                0, n_chunks, compact_body,
+                (jnp.zeros((r, s_sup), jnp.int32),
+                 jnp.zeros((r, s_sup), jnp.float32), jnp.bool_(False)),
+            )
+        # The compacted V is small enough to replicate everywhere
+        # (N x S x 8 B ~ 17 MB at N=16k) — so the exact correction is a
+        # purely local gather on every device, no ring needed.
+        cidx_all = jax.lax.all_gather(cidx_loc, "data", tiled=True)
+        cval_all = jax.lax.all_gather(cval_loc, "data", tiled=True)
+
+        def bound_tile(bm, vbf):
+            return jnp.dot(bm, vbf.T, preferred_element_type=jnp.float32)
+
+        def bound_chunk(c):
+            """(fd_lb, orig) for my chunk c: a SOUND lower bound on the
+            re-ranked distance via the bf16 mask-GEMM ms upper bound
+            (MXU work instead of the dense fp32 L1 on the VPU)."""
+            rows0 = c * b
+            fc = jax.lax.dynamic_slice(f_local, (rows0, 0),
+                                       (b, f_local.shape[1]))
+            x2 = jnp.sum(fc * fc, axis=1, keepdims=True)
+            d = jnp.maximum(
+                x2 + y2[None, :] - 2.0 * jnp.dot(
+                    fc, f_all.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                ), 0.0)
+            orig = d / jax.lax.dynamic_slice(row_scale, (rows0,), (b,))[:, None]
+            g = sum(
+                ring_pairwise(
+                    support_mask(jax.lax.dynamic_slice(vb, (rows0, 0),
+                                                       (b, cb))),
+                    vbf, bound_tile)
+                for vb, vbf in zip(v_blks, vbf_blks)
+            )
+            return fd_lower(minsum_upper(g), orig, lambda_value), orig
+
+        def slot_fd(c, cols, orig):
+            """Exact re-ranked distance for the selected candidate columns
+            of my chunk c rows, from the compacted (idx, val) tables."""
+            rows0 = c * b
+            ci = jax.lax.dynamic_slice(cidx_loc, (rows0, 0), (b, s_sup))
+            cv = jax.lax.dynamic_slice(cval_loc, (rows0, 0), (b, s_sup))
+            ms = sparse_minsum(ci, cv, jnp.take(cidx_all, cols, axis=0),
+                               jnp.take(cval_all, cols, axis=0))
+            jac = 1.0 - ms / (2.0 - ms)
+            o = jnp.take_along_axis(orig, cols, axis=1)
+            return jnp.maximum(
+                jac * (1.0 - lambda_value) + o * lambda_value, 0.0)
+
+        bound_ctx = {"bound_chunk": bound_chunk, "slot_fd": slot_fd,
+                     "sup_ovf": sup_ovf}
+
     return (final_chunk, final_rows, rows_valid, chunk_valid, row0_global,
-            col_valid, npad, r)
+            col_valid, npad, r, bound_ctx)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "k1", "k2", "lambda_value",
                      "min_samples", "chunk", "l1_impl", "n_vblk",
-                     "with_final", "band_cap"),
+                     "with_final", "band_cap", "support_cap"),
 )
 def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
                     chunk, l1_impl, n_vblk=1, with_final=False,
-                    band_cap=256):
+                    band_cap=256, support_cap=128):
     # rho is traced (like n): per-iteration rho scheduling reuses the
     # compiled graph.
     npad = f.shape[0]
@@ -304,14 +396,16 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
     r = npad // p
     b = chunk
     n_chunks = r // b
+    cap = min(band_cap, npad)
 
     l1_tile = _l1_pallas if l1_impl == "pallas" or (
         l1_impl == "auto" and on_tpu()) else _l1_xla
 
     def impl(f_local):
         (final_chunk, final_rows, rows_valid, chunk_valid, row0_global,
-         col_valid, _, _) = _phases12(
-            f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile
+         col_valid, _, _, bound_ctx) = _phases12(
+            f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile,
+            support_cap=support_cap if cap > 0 else 0,
         )
 
         if with_final:
@@ -368,7 +462,6 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
         from ssg_tpu.parallel.ring import stripe_transpose_packed
 
         nbytes = npad // 8
-        cap = min(band_cap, npad)
 
         with jax.named_scope("s_p3_sample"):
             # One chunk's worth of rows spread over the whole stripe as a
@@ -419,72 +512,92 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
         r_hi = jnp.maximum((b_s.astype(jnp.float32) + 1.0) * w0,
                            e_hi) + slack
 
-        # ---- main sweep: reductions + definite adjacency + compaction ---
+        # ---- main sweep: bound-screen + exact-correct + compaction -------
+        # The exact fp32 L1 over V is VPU element work at N per pair; the
+        # sweep instead screens every pair with the bf16 mask-GEMM lower
+        # bound fd_lb <= fd (ops/minsum.py — MXU work), compacts the few
+        # per-row survivors of fd_lb <= r_hi (mean ~40/row on real
+        # features), and computes the EXACT distance only for those from
+        # the compacted (idx, val) V tables (S x S compare-select, S ~ 128
+        # vs N dense). Pairs pruned by the bound can never enter the eps
+        # statistic or the adjacency (fd >= fd_lb > r_hi) — they only
+        # contribute to the nonzero-pair total, which needs no value.
+        # Soundness guards: per-row candidate overflow, V-support overflow
+        # (compaction would under-count ms), and the existing post-hoc
+        # k-th/eps region checks all force the exact-sweep fallback.
         def sweep_main(c, carry):
-            (total, cnt_below, sum_below, cnt_rtri,
-             adj_acc, cc_acc, cf_acc, ovf) = carry
-            fd = final_chunk(c)
-            tri = chunk_valid(c) & (fd != 0.0)
-            total += jnp.sum(tri.astype(jnp.int32))
-            below = tri & (fd <= r_lo)
-            cnt_below += jnp.sum(below.astype(jnp.int32))
-            sum_below += jnp.sum(jnp.where(below, fd, 0.0))
+            pruned, cc_acc, cf_acc, ovf = carry
+            rows = row0_global + c * b + jnp.arange(b, dtype=jnp.int32)
+            ok = (rows[:, None] < n) & col_valid[None, :]
             if cap > 0:
-                # Full mask for adjacency (both triangles: phase 4
-                # symmetrizes by OR, but consumes every row's bits).
-                rows = row0_global + c * b + jnp.arange(b, dtype=jnp.int32)
-                ok = (rows[:, None] < n) & col_valid[None, :]
-                adj_acc = jax.lax.dynamic_update_slice(
-                    adj_acc, pack_bits((fd <= r_lo) & ok), (c * b, 0))
-                inreg = (fd > r_lo) & (fd <= r_hi)
-                cnt_rtri += jnp.sum((tri & inreg).astype(jnp.int32))
-                region = ok & inreg
-                ovf = ovf | jnp.any(jnp.sum(region, axis=1) > cap)
-                key = jnp.where(region, fd, jnp.inf)
+                fd_lb, orig = bound_ctx["bound_chunk"](c)
+                candm = ok & (fd_lb <= r_hi)
+                # Upper-triangle pairs pruned by the bound: all nonzero
+                # (fd >= fd_lb > r_hi > 0), counted without their values.
+                cols_gt = chunk_valid(c)
+                pruned += jnp.sum((cols_gt & ~candm).astype(jnp.int32))
+                ovf = ovf | jnp.any(
+                    jnp.sum(candm.astype(jnp.int32), axis=1) > cap)
+                key = jnp.where(candm, fd_lb, jnp.inf)
                 if on_tpu():
-                    # Exact TPU top-k via the two-pass partial reduction
-                    # (0.19 s/sweep at N=16,384, cap=256).
-                    vals, idxs = jax.lax.approx_min_k(key, cap,
-                                                      recall_target=1.0)
+                    # Exact TPU top-k via the two-pass partial reduction.
+                    lbv, cols = jax.lax.approx_min_k(key, cap,
+                                                     recall_target=1.0)
                 else:
                     # XLA:CPU emulates approx_min_k with reduce-window
                     # (measured 10x slower than its sort at this cap).
-                    neg, idxs = jax.lax.top_k(-key, cap)
-                    vals = -neg
-                cc_acc = jax.lax.dynamic_update_slice(cc_acc, idxs,
+                    neg, cols = jax.lax.top_k(-key, cap)
+                    lbv = -neg
+                fd_s = bound_ctx["slot_fd"](c, cols, orig)
+                fd_s = jnp.where(jnp.isfinite(lbv), fd_s, jnp.inf)
+                cc_acc = jax.lax.dynamic_update_slice(cc_acc, cols,
                                                       (c * b, 0))
-                cf_acc = jax.lax.dynamic_update_slice(cf_acc, vals,
+                cf_acc = jax.lax.dynamic_update_slice(cf_acc, fd_s,
                                                       (c * b, 0))
-            return (total, cnt_below, sum_below, cnt_rtri,
-                    adj_acc, cc_acc, cf_acc, ovf)
+            else:
+                # cap=0 statically disables the fused path (escape hatch +
+                # deterministic tests): one exact sweep still provides the
+                # nonzero-pair total that sizes k; eps/adjacency then run
+                # the dedicated fallback sweeps.
+                fd = final_chunk(c)
+                pruned += jnp.sum(
+                    (chunk_valid(c) & (fd != 0.0)).astype(jnp.int32))
+            return pruned, cc_acc, cf_acc, ovf
 
         with jax.named_scope("s_p3_main"):
-            (total, cnt_below, sum_below, cnt_rtri,
-             adj_in, cand_col, cand_fd, reg_ovf) = jax.lax.fori_loop(
+            (pruned, cand_col, cand_fd, cand_ovf) = jax.lax.fori_loop(
                 0, n_chunks, sweep_main,
-                (jnp.int32(0), jnp.int32(0), jnp.float32(0.0), jnp.int32(0),
-                 jnp.zeros((r, nbytes), jnp.uint8),
+                (jnp.int32(0),
                  jnp.full((r, max(cap, 1)), npad, jnp.int32),
                  jnp.full((r, max(cap, 1)), jnp.inf, jnp.float32),
-                 # cap=0 statically disables the fused path: the fallback
-                 # sweeps always run (escape hatch + deterministic tests).
                  jnp.bool_(cap == 0)),
             )
-        total = jax.lax.psum(total, "data")
-        cnt_below = jax.lax.psum(cnt_below, "data")
-        sum_below = jax.lax.psum(sum_below, "data")
-        cnt_rtri = jax.lax.psum(cnt_rtri, "data")
-        ovf_any = jax.lax.pmax(reg_ovf.astype(jnp.int32), "data") > 0
+
+        # Slot-level stats (exact values for every pair with fd <= r_hi).
+        rows_g = row0_global + jnp.arange(r, dtype=jnp.int32)
+        live = jnp.isfinite(cand_fd)
+        slot_tri = live & (cand_fd != 0.0) & (cand_col > rows_g[:, None])
+        below_m = slot_tri & (cand_fd <= r_lo)
+        total = jax.lax.psum(
+            pruned + jnp.sum(slot_tri.astype(jnp.int32)), "data")
+        cnt_below = jax.lax.psum(jnp.sum(below_m.astype(jnp.int32)), "data")
+        sum_below = jax.lax.psum(
+            jnp.sum(jnp.where(below_m, cand_fd, 0.0)), "data")
+        # Region pairs (upper triangle) — the eps_fast histogram domain.
+        tri_c = slot_tri & (cand_fd > r_lo) & (cand_fd <= r_hi)
+        cnt_rtri = jax.lax.psum(jnp.sum(tri_c.astype(jnp.int32)), "data")
+        ovf_any = jax.lax.pmax(cand_ovf.astype(jnp.int32), "data") > 0
+        sup_any = (jax.lax.pmax(
+            bound_ctx["sup_ovf"].astype(jnp.int32), "data") > 0) \
+            if cap > 0 else jnp.bool_(False)
         k = jnp.maximum(
             jnp.round(rho * total.astype(jnp.float32)).astype(jnp.int32), 1
         )
-        # Exact post-hoc check (a)+(b): the k-th smallest pair is inside
-        # the compacted region, and no row overflowed.
-        p_fast = (cnt_below < k) & (k <= cnt_below + cnt_rtri) & ~ovf_any
-
-        rows_g = row0_global + jnp.arange(r, dtype=jnp.int32)
-        live = jnp.isfinite(cand_fd)
-        tri_c = live & (cand_fd != 0.0) & (cand_col > rows_g[:, None])
+        # Exact post-hoc checks: the k-th smallest pair is inside the
+        # compacted region, no row overflowed cap, no V row overflowed
+        # the support compaction.
+        p_fast = (cnt_below < k) & (k <= cnt_below + cnt_rtri) \
+            & ~ovf_any & ~sup_any
 
         def eps_fast(_):
             """Closed-form eps from the compacted region only.
@@ -616,26 +729,30 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
         band_fallback = ~adj_ok
         # Diagnostic bit code for perf attribution (diag["fallback_code"]):
         # 1 = a row overflowed cap, 2 = k-th pair outside the sampled
-        # region, 4 = eps outside the region.
+        # region, 4 = eps outside the region, 8 = a V-row support
+        # overflowed the compaction width.
         fb_code = (ovf_any.astype(jnp.int32)
                    + 2 * (~((cnt_below < k) & (k <= cnt_below + cnt_rtri)))
                    .astype(jnp.int32)
-                   + 4 * (~((eps >= r_lo) & (eps <= r_hi))).astype(jnp.int32))
+                   + 4 * (~((eps >= r_lo) & (eps <= r_hi))).astype(jnp.int32)
+                   + 8 * sup_any.astype(jnp.int32))
         diag_vec = jnp.stack([r_lo, r_hi, e_lo, e_hi,
                               cnt_rtri.astype(jnp.float32)])
 
         def adj_fast(_):
-            # Region candidates with fd <= eps join the definite adjacency.
-            # fd <= r_lo entries are already in adj_in (their bit is set,
-            # so they must NOT be added again — scatter-ADD is OR only for
-            # bits known to be zero), hence the strict > r_lo guard.
-            sel = live & (cand_fd > r_lo) & (cand_fd <= eps)
+            # Every adjacency pair has fd <= eps <= r_hi, so it is a
+            # compacted candidate (both triangles, diagonal included);
+            # scatter their bits into a fresh stripe. Each (row, col)
+            # appears in at most one slot, so scatter-ADD of distinct
+            # bit values IS set union here.
+            sel = live & (cand_fd <= eps)
             byte = jnp.where(sel, cand_col // 8, nbytes)  # nbytes: dropped
             val = jnp.where(
                 sel, jnp.uint8(1) << (cand_col & 7).astype(jnp.uint8),
                 jnp.uint8(0),
             )
-            return adj_in.at[jnp.arange(r, dtype=jnp.int32)[:, None], byte] \
+            return jnp.zeros((r, nbytes), jnp.uint8) \
+                .at[jnp.arange(r, dtype=jnp.int32)[:, None], byte] \
                 .add(val, mode="drop")
 
         def adj_sweep(_):
@@ -802,7 +919,8 @@ def streaming_cluster(
     l1_impl: str = "auto",
     col_blocks: int | None = None,
     return_final: bool = False,
-    band_cap: int = 256,
+    band_cap: int | None = None,
+    support_cap: int = 128,
     diag: dict | None = None,
 ):
     """k-reciprocal re-rank + auto-eps DBSCAN without materializing the
@@ -814,12 +932,17 @@ def streaming_cluster(
     (N, N) re-ranked matrix!) a fourth element, the final distance matrix,
     is appended.
 
-    ``band_cap`` is the per-row capacity for adjacency pairs whose final
-    distance lands in the coarse-histogram eps uncertainty band; rows
-    exceeding it trigger the exact-but-slower dedicated adjacency sweep
-    (labels are identical either way). ``band_cap=0`` disables the fused
-    emission entirely (always resweep). Pass ``diag`` (a dict) to receive
-    ``{"band_fallback": bool}`` for perf attribution.
+    ``band_cap`` is the per-row capacity for candidate pairs the screening
+    bound cannot prune (fd_lb <= r_hi: every pair at or near the eps
+    region); rows exceeding it trigger the exact-but-slower dedicated
+    sweeps (labels are identical either way). The default (None) scales
+    with N — candidates/row grow ~linearly (the eps quantile is a fixed
+    fraction rho of N^2 pairs). ``band_cap=0`` disables the fused path
+    entirely (always resweep). ``support_cap`` bounds the compacted-V row
+    width; V rows with more nonzeros (k1-driven, ~54 mean / 110 max on
+    real features) also force the exact fallback. Pass ``diag`` (a dict)
+    to receive ``{"band_fallback": bool, "fallback_code": int, ...}`` for
+    perf attribution.
     """
     from ssg_tpu.parallel.multihost import global_put
 
@@ -827,6 +950,10 @@ def streaming_cluster(
                                               col_blocks)
     k1 = min(int(k1), n - 1)
     k2 = min(int(k2), n - 1)
+    if band_cap is None:
+        # ~0.017*N measured max candidates/row on real features with the
+        # one-directional bound; 2x headroom, 64-lane aligned.
+        band_cap = max(256, round_up(npad // 30, 64))
     (labels, n_clusters, eps, band_fallback, fb_code, diag_vec,
      final) = _streaming_impl(
         global_put(mesh, f, P("data", None)),
@@ -835,6 +962,7 @@ def streaming_cluster(
         mesh, k1, k2, float(lambda_value),
         int(min_samples), int(c), l1_impl, n_vblk=n_vblk,
         with_final=return_final, band_cap=int(band_cap),
+        support_cap=int(support_cap),
     )
     if diag is not None:
         diag["band_fallback"] = bool(band_fallback)
@@ -868,7 +996,7 @@ def _rerank_eval_impl(f, n, qids_pad, qcams_pad, g_ids, g_cams, nq, mesh,
         l1_impl == "auto" and on_tpu()) else _l1_xla
 
     def impl(f_local, qids_pad, qcams_pad, g_ids, g_cams):
-        final_chunk, _, _, _, row0_global, _, _, _ = _phases12(
+        final_chunk, _, _, _, row0_global, _, _, _, _ = _phases12(
             f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile
         )
 

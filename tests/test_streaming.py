@@ -84,24 +84,67 @@ def test_streaming_band_fast_path_engages_and_matches():
     np.testing.assert_array_equal(np.asarray(labels), want_labels)
 
 
-def test_streaming_band_emission_exact_on_ties():
+def test_streaming_fast_path_deterministic_on_ties():
     """Duplicated points (tied distances, fp-degenerate eps regime): the
-    fused band emission must produce EXACTLY the adjacency of the dedicated
-    sweep — labels/eps identical to the band_cap=0 forced-resweep run.
-    (Dense-vs-streaming label parity is out of scope on mass-tied data:
-    the two chains' top-k tie-breaking legitimately diverges there; the
-    tie-free parity matrix lives in the tests above.)"""
+    bound-corrected fast path must be BIT-IDENTICAL across V storage
+    blockings (col_blocks changes the screening GEMM's accumulation order;
+    only the exact slot values may decide anything), and every duplicate
+    group must co-cluster in every run — including the exact-sweep
+    fallback.
+
+    Fast-vs-fallback bit-equality is NOT asserted on mass-tied data: the
+    two routes compute fd by different exact fp32 reductions (compacted
+    min-sum vs the Pallas L1), and duplicate pairs sit exactly on the
+    fd == 0 knife edge of the nonzero-pair statistic — the mean-of-k-
+    smallest-nonzero is discontinuous there for ANY implementation pair
+    (the numpy oracle lands on its own third answer). Tie-free fast-vs-
+    dense exactness lives in the tests above."""
     base = _feats(13, 24, 4)
     feats = jnp.asarray(np.repeat(np.asarray(base), 4, axis=0))  # 96 rows
     mesh = make_mesh(8)
     kw = dict(k1=6, k2=2, lambda_value=0.1, rho=0.05, min_samples=3, chunk=4)
 
-    want_labels, want_n, want_eps = streaming_cluster(
-        feats, mesh, band_cap=0, **kw)  # dedicated adjacency sweep
-    labels, n_clusters, eps = streaming_cluster(feats, mesh, **kw)
-    assert int(n_clusters) == int(want_n)
-    np.testing.assert_array_equal(np.asarray(labels), np.asarray(want_labels))
-    assert float(eps) == float(want_eps)
+    diag = {}
+    labels, n_clusters, eps = streaming_cluster(feats, mesh, diag=diag, **kw)
+    assert diag["band_fallback"] is False  # ties must not break the screen
+    labels2, n2, eps2 = streaming_cluster(feats, mesh, col_blocks=2, **kw)
+    np.testing.assert_array_equal(np.asarray(labels), np.asarray(labels2))
+    assert float(eps) == float(eps2) and int(n_clusters) == int(n2)
+
+    fb_labels, fb_n, _ = streaming_cluster(feats, mesh, band_cap=0, **kw)
+    for run in (np.asarray(labels), np.asarray(fb_labels)):
+        groups = run.reshape(24, 4)  # rows repeated 4x
+        assert (groups == groups[:, :1]).all()  # duplicates co-cluster
+        assert (groups >= 0).all()  # duplicates are never noise here
+    assert int(fb_n) > 0
+
+
+def test_streaming_overflow_fallbacks_stay_exact():
+    """Candidate-cap overflow (fb bit 1) and V-support-cap overflow (fb
+    bit 8) must each force the exact-sweep fallback and still produce
+    labels identical to the dense chain — the caps are perf knobs, never
+    correctness knobs."""
+    mesh = make_mesh(8)
+    feats = _feats(21, 160, 12)
+    kw = dict(k1=8, k2=3, lambda_value=0.1, rho=0.02, min_samples=3, chunk=8)
+
+    dist = re_ranking(features=feats, k1=8, k2=3, lambda_value=0.1)
+    want_labels, want_n, _ = cluster(dist, rho=0.02, min_samples=3)
+    assert want_n > 0
+
+    diag = {}
+    labels, n_clusters, _ = streaming_cluster(
+        feats, mesh, band_cap=1, diag=diag, **kw)  # 1 slot/row: must ovf
+    assert diag["band_fallback"] is True and (diag["fallback_code"] & 1)
+    assert int(n_clusters) == want_n
+    np.testing.assert_array_equal(np.asarray(labels), want_labels)
+
+    diag = {}
+    labels, n_clusters, _ = streaming_cluster(
+        feats, mesh, support_cap=2, diag=diag, **kw)  # V rows carry > 2
+    assert diag["band_fallback"] is True and (diag["fallback_code"] & 8)
+    assert int(n_clusters) == want_n
+    np.testing.assert_array_equal(np.asarray(labels), want_labels)
 
 
 def test_streaming_tiny_k_clamp():
