@@ -599,6 +599,18 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
         p_fast = (cnt_below < k) & (k <= cnt_below + cnt_rtri) \
             & ~ovf_any & ~sup_any
 
+        # Region pairs compact once more before the eps histograms: TPU
+        # scatter costs ~9 ns/element INCLUDING dead slots, so 5 scatter
+        # passes over the (r, cap) slot array were 0.41 s at N=16,384
+        # (cap=576) while the live region pairs are ~16/row. One exact
+        # approx_min_k narrows the domain to (r, eps_cap); rows with more
+        # region pairs than eps_cap (exact count check) fall back to
+        # eps_slow ONLY — the adjacency fast path is unaffected.
+        eps_cap = min(max(64, round_up(cap // 8, 64)), max(cap, 1))
+        reg_ovf = jax.lax.pmax(
+            jnp.any(jnp.sum(tri_c.astype(jnp.int32), axis=1) > eps_cap)
+            .astype(jnp.int32), "data") > 0
+
         def eps_fast(_):
             """Closed-form eps from the compacted region only.
 
@@ -608,23 +620,31 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
             tied values below that share a bin whose min is still the
             correct order statistic to within the tie collapse.
             """
-            fdr = cand_fd.ravel()
+            key = jnp.where(tri_c, cand_fd, jnp.inf)
+            if on_tpu():
+                rvals, _ = jax.lax.approx_min_k(key, eps_cap,
+                                                recall_target=1.0)
+            else:
+                neg, _ = jax.lax.top_k(-key, eps_cap)
+                rvals = -neg
+            rlive = jnp.isfinite(rvals)
+            fdr = rvals.ravel()
             w_a = (r_hi - r_lo) / _BINS
-            i_a = jnp.clip(((cand_fd - r_lo) / w_a).astype(jnp.int32),
+            i_a = jnp.clip(((rvals - r_lo) / w_a).astype(jnp.int32),
                            0, _BINS - 1)
-            flat_a = jnp.where(tri_c, i_a, _BINS).ravel()
+            flat_a = jnp.where(rlive, i_a, _BINS).ravel()
             hist_a = jnp.zeros((_BINS + 1,), jnp.int32).at[flat_a].add(
-                tri_c.ravel().astype(jnp.int32))
+                rlive.ravel().astype(jnp.int32))
             sum_a = jnp.zeros((_BINS + 1,), jnp.float32).at[flat_a].add(
-                jnp.where(tri_c.ravel(), fdr, 0.0))
+                jnp.where(rlive.ravel(), fdr, 0.0))
             hist_a = jax.lax.psum(hist_a[:_BINS], "data")
             sum_a = jax.lax.psum(sum_a[:_BINS], "data")
             cum_a = cnt_below + jnp.cumsum(hist_a)
             bin_a = jnp.searchsorted(cum_a, k, side="left").astype(jnp.int32)
             lo_b = r_lo + bin_a.astype(jnp.float32) * w_a
             w_b = w_a / _BINS
-            in_a = tri_c & (i_a == bin_a)
-            i_b = jnp.clip(((cand_fd - lo_b) / w_b).astype(jnp.int32),
+            in_a = rlive & (i_a == bin_a)
+            i_b = jnp.clip(((rvals - lo_b) / w_b).astype(jnp.int32),
                            0, _BINS - 1)
             flat_b = jnp.where(in_a, i_b, _BINS).ravel()
             hist_b = jnp.zeros((_BINS + 1,), jnp.int32).at[flat_b].add(
@@ -716,8 +736,11 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
 
         with jax.named_scope("s_p3_eps"):
             # Mesh-uniform predicates: every device takes the same branch,
-            # so the fallback's ring collectives stay aligned.
-            eps = jax.lax.cond(p_fast, eps_fast, eps_slow, operand=None)
+            # so the fallback's ring collectives stay aligned. reg_ovf
+            # downgrades eps ONLY (exact two-sweep recompute); the
+            # adjacency fast path needs just p_fast + eps-in-region.
+            eps = jax.lax.cond(p_fast & ~reg_ovf, eps_fast, eps_slow,
+                               operand=None)
 
         # ---- phase 4: bit-packed adjacency --------------------------------
         # The adjacency is the pipeline's only persistent O(N^2/P) state;
@@ -730,12 +753,15 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
         # Diagnostic bit code for perf attribution (diag["fallback_code"]):
         # 1 = a row overflowed cap, 2 = k-th pair outside the sampled
         # region, 4 = eps outside the region, 8 = a V-row support
-        # overflowed the compaction width.
+        # overflowed the compaction width, 16 = a row's region pairs
+        # overflowed eps_cap (eps took the exact two-sweep branch; the
+        # adjacency fast path is unaffected).
         fb_code = (ovf_any.astype(jnp.int32)
                    + 2 * (~((cnt_below < k) & (k <= cnt_below + cnt_rtri)))
                    .astype(jnp.int32)
                    + 4 * (~((eps >= r_lo) & (eps <= r_hi))).astype(jnp.int32)
-                   + 8 * sup_any.astype(jnp.int32))
+                   + 8 * sup_any.astype(jnp.int32)
+                   + 16 * reg_ovf.astype(jnp.int32))
         diag_vec = jnp.stack([r_lo, r_hi, e_lo, e_hi,
                               cnt_rtri.astype(jnp.float32)])
 
