@@ -384,11 +384,11 @@ def _phases12(f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile,
     jax.jit,
     static_argnames=("mesh", "k1", "k2", "lambda_value",
                      "min_samples", "chunk", "l1_impl", "n_vblk",
-                     "with_final", "band_cap", "support_cap"),
+                     "with_final", "band_cap", "support_cap", "eps_cap"),
 )
 def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
                     chunk, l1_impl, n_vblk=1, with_final=False,
-                    band_cap=256, support_cap=128):
+                    band_cap=256, support_cap=128, eps_cap=None):
     # rho is traced (like n): per-iteration rho scheduling reuses the
     # compiled graph.
     npad = f.shape[0]
@@ -606,9 +606,10 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
         # approx_min_k narrows the domain to (r, eps_cap); rows with more
         # region pairs than eps_cap (exact count check) fall back to
         # eps_slow ONLY — the adjacency fast path is unaffected.
-        eps_cap = min(max(64, round_up(cap // 8, 64)), max(cap, 1))
+        ecap = min(max(64, round_up(cap // 8, 64)), max(cap, 1)) \
+            if eps_cap is None else min(int(eps_cap), max(cap, 1))
         reg_ovf = jax.lax.pmax(
-            jnp.any(jnp.sum(tri_c.astype(jnp.int32), axis=1) > eps_cap)
+            jnp.any(jnp.sum(tri_c.astype(jnp.int32), axis=1) > ecap)
             .astype(jnp.int32), "data") > 0
 
         def eps_fast(_):
@@ -622,10 +623,10 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
             """
             key = jnp.where(tri_c, cand_fd, jnp.inf)
             if on_tpu():
-                rvals, _ = jax.lax.approx_min_k(key, eps_cap,
+                rvals, _ = jax.lax.approx_min_k(key, ecap,
                                                 recall_target=1.0)
             else:
-                neg, _ = jax.lax.top_k(-key, eps_cap)
+                neg, _ = jax.lax.top_k(-key, ecap)
                 rvals = -neg
             rlive = jnp.isfinite(rvals)
             fdr = rvals.ravel()
@@ -947,6 +948,7 @@ def streaming_cluster(
     return_final: bool = False,
     band_cap: int | None = None,
     support_cap: int = 128,
+    eps_cap: int | None = None,
     diag: dict | None = None,
 ):
     """k-reciprocal re-rank + auto-eps DBSCAN without materializing the
@@ -966,9 +968,13 @@ def streaming_cluster(
     fraction rho of N^2 pairs). ``band_cap=0`` disables the fused path
     entirely (always resweep). ``support_cap`` bounds the compacted-V row
     width; V rows with more nonzeros (k1-driven, ~54 mean / 110 max on
-    real features) also force the exact fallback. Pass ``diag`` (a dict)
-    to receive ``{"band_fallback": bool, "fallback_code": int, ...}`` for
-    perf attribution.
+    real features) also force the exact fallback. ``eps_cap`` (default:
+    band_cap/8, >= 64) bounds the second compaction that narrows the eps
+    histograms to the live region pairs (~16/row); overflow downgrades
+    the eps computation ONLY (exact two-sweep recompute) — the adjacency
+    fast path stays engaged. Pass ``diag`` (a dict) to receive
+    ``{"band_fallback": bool, "fallback_code": int, ...}`` for perf
+    attribution.
     """
     from ssg_tpu.parallel.multihost import global_put
 
@@ -989,6 +995,7 @@ def streaming_cluster(
         int(min_samples), int(c), l1_impl, n_vblk=n_vblk,
         with_final=return_final, band_cap=int(band_cap),
         support_cap=int(support_cap),
+        eps_cap=None if eps_cap is None else int(eps_cap),
     )
     if diag is not None:
         diag["band_fallback"] = bool(band_fallback)

@@ -83,6 +83,18 @@ def test_streaming_band_fast_path_engages_and_matches():
     assert int(n_clusters) == want_n
     np.testing.assert_array_equal(np.asarray(labels), want_labels)
 
+    # eps-compaction overflow (fb bit 16) downgrades eps ONLY: the exact
+    # two-sweep eps recompute runs, but the adjacency fast path must stay
+    # engaged (band_fallback False) and labels stay dense-exact (eps may
+    # differ from the slot route by summation-order ulps).
+    diag = {}
+    labels, n_clusters, _ = streaming_cluster(
+        feats, mesh, eps_cap=1, diag=diag, **kw)  # >1 region pair/row
+    assert diag["fallback_code"] & 16
+    assert diag["band_fallback"] is False
+    assert int(n_clusters) == want_n
+    np.testing.assert_array_equal(np.asarray(labels), want_labels)
+
 
 def test_streaming_fast_path_deterministic_on_ties():
     """Duplicated points (tied distances, fp-degenerate eps regime): the
@@ -145,6 +157,7 @@ def test_streaming_overflow_fallbacks_stay_exact():
     assert diag["band_fallback"] is True and (diag["fallback_code"] & 8)
     assert int(n_clusters) == want_n
     np.testing.assert_array_equal(np.asarray(labels), want_labels)
+
 
 
 def test_streaming_tiny_k_clamp():
