@@ -23,10 +23,15 @@ def rank_stats_masked(
     query_cams: jax.Array,
     gallery_cams: jax.Array,
     row_mask: jax.Array | None = None,
+    col_mask: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """rank_stats body with an optional per-row validity mask (rows where
-    ``row_mask`` is False contribute nothing) — lets the streaming rerank
-    evaluator feed fixed-size row chunks that mix query and padding rows.
+    """rank_stats body with optional validity masks. Rows where ``row_mask``
+    is False contribute nothing — lets the streaming rerank evaluator feed
+    fixed-size row chunks that mix query and padding rows. Columns where
+    ``col_mask`` is False are excluded from the valid sublist entirely
+    (exactly like the protocol's junk filtering) — lets the evaluator feed
+    full stripe rows whose columns interleave gallery, query and padding
+    entries, regardless of the distances in the masked columns.
     Traceable (no jit wrapper): usable inside shard_map."""
     order = jnp.argsort(distmat, axis=1)  # ascending distance
     g_ids = gallery_ids[order]  # (Qc, G)
@@ -34,6 +39,8 @@ def rank_stats_masked(
 
     matches = g_ids == query_ids[:, None]
     valid = (g_ids != query_ids[:, None]) | (g_cams != query_cams[:, None])
+    if col_mask is not None:
+        valid = valid & col_mask[order]
     rel = matches & valid
 
     # Rank of each gallery position within the valid sublist (1-indexed).

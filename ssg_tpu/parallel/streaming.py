@@ -78,7 +78,7 @@ def _recip_chunk(lists_all: jax.Array, row0: jax.Array, b: int, npad: int):
 
 
 def _phases12(f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile,
-              support_cap=0):
+              support_cap=0, valid_global=None):
     """Phases 1-2 (rank lists + V stripe), shared by the clustering and the
     evaluation pipelines. Runs inside shard_map over axis "data"; returns
     the ``final_chunk``/``chunk_valid`` closures (re-ranked distance rows of
@@ -101,7 +101,11 @@ def _phases12(f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile,
     # single buffer exceeds ~1 GiB (XLA's 2 GiB limit); every consumer
     # (L1, overlap, expansion, row sums) decomposes additively over columns.
     y2 = jnp.sum(f_all * f_all, axis=1)  # (npad,)
-    col_valid = jnp.arange(npad, dtype=jnp.int32) < n
+    # Row/column validity: the clustering path pads rows as a suffix
+    # (prefix-valid); the interleaved eval layout scatters per-shard pad
+    # rows through the stripe and passes an explicit (npad,) bool vector.
+    col_valid = (jnp.arange(npad, dtype=jnp.int32) < n) \
+        if valid_global is None else valid_global
 
     def dist_chunk(c):
         """Squared-Euclidean distances of my chunk c rows vs all."""
@@ -132,7 +136,7 @@ def _phases12(f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile,
         nn1 = jax.lax.dynamic_update_slice(nn1, i1, (c * b, 0))
         nnh = jax.lax.dynamic_update_slice(nnh, ih, (c * b, 0))
         nn2 = jax.lax.dynamic_update_slice(nn2, i2, (c * b, 0))
-        row_ok = row_ids(c) < n
+        row_ok = jnp.take(col_valid, row_ids(c))
         colmax = jnp.maximum(
             colmax, jnp.max(jnp.where(row_ok[:, None], d, -jnp.inf), 0)
         )
@@ -171,7 +175,8 @@ def _phases12(f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile,
             0, n_chunks, build_rh,
             tuple(jnp.zeros((r, cb), bool) for _ in range(n_vblk)),
         )
-    row_valid = (row0_global + jnp.arange(r, dtype=jnp.int32)) < n
+    row_valid = jnp.take(col_valid,
+                         row0_global + jnp.arange(r, dtype=jnp.int32))
     rh_blks = tuple(
         blk & row_valid[:, None] & blocks(col_valid[None, :])[i]
         for i, blk in enumerate(rh_blks)
@@ -292,7 +297,7 @@ def _phases12(f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile,
     def rows_valid(rows_global):
         cols = jnp.arange(npad, dtype=jnp.int32)
         return (cols[None, :] > rows_global[:, None]) & \
-            (rows_global[:, None] < n) & col_valid[None, :]
+            jnp.take(col_valid, rows_global)[:, None] & col_valid[None, :]
 
     def chunk_valid(c):
         rows = row0_global + c * b + jnp.arange(b, dtype=jnp.int32)
@@ -1011,10 +1016,11 @@ def streaming_cluster(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nq", "mesh", "k1", "k2", "lambda_value", "chunk",
+    static_argnames=("nqc", "mesh", "k1", "k2", "lambda_value", "chunk",
                      "l1_impl", "n_vblk"),
 )
-def _rerank_eval_impl(f, n, qids_pad, qcams_pad, g_ids, g_cams, nq, mesh,
+def _rerank_eval_impl(f, valid, row_qid, row_qcam, row_qmask,
+                      col_gid, col_gcam, col_gmask, nqc, mesh,
                       k1, k2, lambda_value, chunk, l1_impl, n_vblk):
     from ssg_tpu.ops.metrics import rank_stats_masked
 
@@ -1023,31 +1029,38 @@ def _rerank_eval_impl(f, n, qids_pad, qcams_pad, g_ids, g_cams, nq, mesh,
     r = npad // p
     b = chunk
     n_chunks = r // b
-    ng = g_ids.shape[0]
 
     l1_tile = _l1_pallas if l1_impl == "pallas" or (
         l1_impl == "auto" and on_tpu()) else _l1_xla
 
-    def impl(f_local, qids_pad, qcams_pad, g_ids, g_cams):
+    def impl(f_local, valid, row_qid, row_qcam, row_qmask,
+             col_gid, col_gcam, col_gmask):
         final_chunk, _, _, _, row0_global, _, _, _, _ = _phases12(
-            f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile
+            f_local, 0, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile,
+            valid_global=valid,
         )
 
         def sweep(c, carry):
             ap_sum, cmc_sum, n_valid = carry
             fd = final_chunk(c)  # (b, npad) re-ranked distances
-            block = jax.lax.dynamic_slice(fd, (0, nq), (b, ng))
             rows = row0_global + c * b + jnp.arange(b, dtype=jnp.int32)
-            mask = rows < nq  # only query rows contribute stats
-            safe = jnp.minimum(rows, npad - 1)
+            # Full stripe rows: gallery/query/pad columns interleave; the
+            # col mask excludes non-gallery columns from the protocol's
+            # valid sublist exactly (their distances never matter).
             a, cm, v = rank_stats_masked(
-                block, jnp.take(qids_pad, safe), g_ids,
-                jnp.take(qcams_pad, safe), g_cams, mask,
+                fd, jnp.take(row_qid, rows), col_gid,
+                jnp.take(row_qcam, rows), col_gcam,
+                jnp.take(row_qmask, rows), col_gmask,
             )
             return ap_sum + a, cmc_sum + cm, n_valid + v
 
+        # Query rows occupy each shard's first qr local rows (interleaved
+        # layout built by the host wrapper) — the re-ranked sweep touches
+        # ONLY those nqc chunks (mesh-uniform static count, so the ring
+        # collectives inside final_chunk stay aligned), cutting the
+        # dominant dense L1+GEMM phase by ~N/nq vs sweeping the stripe.
         ap, cmc, nv = jax.lax.fori_loop(
-            0, n_chunks, sweep,
+            0, nqc, sweep,
             (jnp.float32(0.0), jnp.zeros((100,), jnp.float32), jnp.int32(0)),
         )
         return (jax.lax.psum(ap, "data"), jax.lax.psum(cmc, "data"),
@@ -1055,10 +1068,10 @@ def _rerank_eval_impl(f, n, qids_pad, qcams_pad, g_ids, g_cams, nq, mesh,
 
     return jax.shard_map(
         impl, mesh=mesh,
-        in_specs=(P("data", None), P(), P(), P(), P()),
+        in_specs=(P("data", None), P(), P(), P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P()),
         check_vma=False,
-    )(f, qids_pad, qcams_pad, g_ids, g_cams)
+    )(f, valid, row_qid, row_qcam, row_qmask, col_gid, col_gcam, col_gmask)
 
 
 def streaming_rerank_eval(
@@ -1081,35 +1094,89 @@ def streaming_rerank_eval(
 
     Neither the (N, N) re-ranked matrix nor the (Q, G) block is ever
     materialized: phases 1-2 build the V stripes exactly as
-    ``streaming_cluster``, then one sweep reduces each chunk of re-ranked
+    ``streaming_cluster``, then one sweep reduces chunks of re-ranked
     query rows directly into additive CMC/mAP statistics on device
     (ops/metrics.rank_stats_masked) — the market1501 protocol of
     ``api.evaluate_all``, numerically equal to evaluating the dense
-    ``re_ranking(concat(qf, gf))[:nq, nq:]`` matrix.
+    ``re_ranking(concat(qf, gf))[:nq, nq:]`` matrix (re-ranked distances
+    are row-permutation-equivariant; summation-order ulps only).
+
+    Layout: query and gallery rows INTERLEAVE across shards — each shard's
+    stripe holds ceil(nq/P) query rows first, then its gallery slice — so
+    the final re-ranked sweep (dense L1 + distance GEMM, the dominant
+    phase) visits only the query chunks: nq/N of the stripe, the same
+    static chunk count on every shard (the ring collectives inside the
+    sweep require a mesh-uniform trip count).
 
     Returns (mAP, cmc (100,), n_valid_queries).
     """
+    import math
+
     from ssg_tpu.parallel.multihost import global_put
 
-    features = jnp.concatenate(
-        [jnp.asarray(query_features, jnp.float32),
-         jnp.asarray(gallery_features, jnp.float32)], axis=0
-    )
-    nq = int(query_features.shape[0])
-    f, n, npad, r, n_vblk, c = _stripe_config(features, mesh, chunk,
-                                              col_blocks)
+    qf = np.asarray(query_features, np.float32)
+    gf = np.asarray(gallery_features, np.float32)
+    nq, ng, d = qf.shape[0], gf.shape[0], qf.shape[1]
+    n = nq + ng
+    p = mesh.shape["data"]
+    qr = -(-nq // p)  # query slots per shard
+    gr = -(-ng // p)  # gallery slots per shard
+    base = p * chunk if n > p * chunk else p
+    mult = math.lcm(base, 8 * p)
+    npad = -(-(p * (qr + gr)) // mult) * mult
+    r = npad // p
+    c = min(chunk, r)
+    while r % c:
+        c -= 1
+    if col_blocks is not None:
+        if npad % col_blocks:
+            raise ValueError(f"col_blocks {col_blocks} must divide {npad}")
+        n_vblk = col_blocks
+    else:
+        n_vblk = 1
+        while r * (npad // n_vblk) * 4 > 2**30 and npad % (n_vblk * 2) == 0:
+            n_vblk *= 2
+
+    f = np.zeros((npad, d), np.float32)
+    valid = np.zeros((npad,), bool)
+    row_qid = np.zeros((npad,), np.int32)
+    row_qcam = np.zeros((npad,), np.int32)
+    row_qmask = np.zeros((npad,), bool)
+    col_gid = np.zeros((npad,), np.int32)
+    col_gcam = np.zeros((npad,), np.int32)
+    col_gmask = np.zeros((npad,), bool)
+    q_ids = np.asarray(q_ids, np.int32)
+    q_cams = np.asarray(q_cams, np.int32)
+    g_ids = np.asarray(g_ids, np.int32)
+    g_cams = np.asarray(g_cams, np.int32)
+    for me in range(p):
+        lo = me * r
+        q0, q1 = me * qr, min((me + 1) * qr, nq)
+        m = max(q1 - q0, 0)
+        if m:
+            f[lo:lo + m] = qf[q0:q1]
+            valid[lo:lo + m] = True
+            row_qmask[lo:lo + m] = True
+            row_qid[lo:lo + m] = q_ids[q0:q1]
+            row_qcam[lo:lo + m] = q_cams[q0:q1]
+        g0, g1 = me * gr, min((me + 1) * gr, ng)
+        m = max(g1 - g0, 0)
+        if m:
+            f[lo + qr:lo + qr + m] = gf[g0:g1]
+            valid[lo + qr:lo + qr + m] = True
+            col_gmask[lo + qr:lo + qr + m] = True
+            col_gid[lo + qr:lo + qr + m] = g_ids[g0:g1]
+            col_gcam[lo + qr:lo + qr + m] = g_cams[g0:g1]
+
     k1 = min(int(k1), n - 1)
     k2 = min(int(k2), n - 1)
-    qids_pad = np.zeros((npad,), np.int32)
-    qcams_pad = np.zeros((npad,), np.int32)
-    qids_pad[:nq] = np.asarray(q_ids, np.int32)
-    qcams_pad[:nq] = np.asarray(q_cams, np.int32)
+    nqc = -(-qr // c)  # query chunks per shard (static, mesh-uniform)
     rep = lambda x: global_put(mesh, x, P())  # noqa: E731
     ap, cmc, nv = _rerank_eval_impl(
-        global_put(mesh, f, P("data", None)), rep(np.int32(n)),
-        rep(qids_pad), rep(qcams_pad),
-        rep(np.asarray(g_ids, np.int32)), rep(np.asarray(g_cams, np.int32)),
-        nq, mesh, k1, k2, float(lambda_value), int(c), l1_impl, n_vblk,
+        global_put(mesh, f, P("data", None)), rep(valid),
+        rep(row_qid), rep(row_qcam), rep(row_qmask),
+        rep(col_gid), rep(col_gcam), rep(col_gmask),
+        nqc, mesh, k1, k2, float(lambda_value), int(c), l1_impl, n_vblk,
     )
     denom = max(int(nv), 1)
     return float(ap) / denom, np.asarray(cmc) / denom, int(nv)

@@ -202,3 +202,41 @@ def test_streaming_rerank_eval_matches_dense_eval():
     assert nv > 0
     assert got_map == pytest.approx(float(want["mAP"]), abs=1e-5)
     np.testing.assert_allclose(got_cmc, np.asarray(want["cmc"]), atol=1e-6)
+
+
+def test_streaming_rerank_eval_ragged_and_tiny_query():
+    """The interleaved query/gallery layout (per-shard query slots first,
+    so the final sweep visits only query chunks) must stay exact when the
+    counts don't divide the mesh: fewer queries than shards, ragged
+    gallery, chunk larger than the query slot count."""
+    from ssg_tpu.ops.metrics import evaluate_rank
+    from ssg_tpu.parallel.streaming import streaming_rerank_eval
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(17)
+    ids = 6
+    centers = rng.normal(size=(ids, 24))
+
+    def make(n):
+        pid = rng.integers(0, ids, n)
+        cam = rng.integers(0, 4, n)
+        x = centers[pid] + 0.25 * rng.normal(size=(n, 24))
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        return jnp.asarray(x, jnp.float32), pid, cam
+
+    for nq, ng in [(5, 93), (13, 51)]:
+        qf, q_ids, q_cams = make(nq)
+        gf, g_ids, g_cams = make(ng)
+        full = re_ranking(features=jnp.concatenate([qf, gf]), k1=6, k2=2,
+                          lambda_value=0.1)
+        want = evaluate_rank(full[:nq, nq:], jnp.asarray(q_ids),
+                             jnp.asarray(g_ids), jnp.asarray(q_cams),
+                             jnp.asarray(g_cams))
+        got_map, got_cmc, nv = streaming_rerank_eval(
+            qf, gf, mesh, q_ids, g_ids, q_cams, g_cams,
+            k1=6, k2=2, lambda_value=0.1, chunk=8,
+        )
+        assert nv > 0
+        assert got_map == pytest.approx(float(want["mAP"]), abs=1e-5)
+        np.testing.assert_allclose(got_cmc, np.asarray(want["cmc"]),
+                                   atol=1e-6)
