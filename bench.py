@@ -92,6 +92,35 @@ def main():
     total_s = extract_s + cluster_s
     imgs_per_s = N / extract_s
 
+    # --- large-N streaming submetric (best-effort: the headline metric
+    # must survive the environment's intermittent device faults, so any
+    # failure here only omits the key) -----------------------------------
+    streaming_s = streaming_clusters = None
+    try:
+        from ssg_tpu.parallel import make_mesh
+        from ssg_tpu.parallel.streaming import streaming_cluster
+
+        ns = 16384
+        k = jax.random.PRNGKey(0)
+        ids = ns // 12
+        centers = jax.random.normal(jax.random.fold_in(k, 1), (ids, 2048))
+        assign = jax.random.randint(jax.random.fold_in(k, 2), (ns,), 0, ids)
+        sf = centers[assign] + 0.3 * jax.random.normal(
+            jax.random.fold_in(k, 3), (ns, 2048))
+        sf = (sf / jnp.linalg.norm(sf, axis=1, keepdims=True)).astype(
+            jnp.float32)
+        mesh = make_mesh(1)
+        skw = dict(k1=20, k2=6, rho=1.6e-3, min_samples=4, chunk=1024)
+        lbl, nc, _ = streaming_cluster(sf, mesh, **skw)
+        np.asarray(lbl)  # host readback = reliable completion barrier
+        t0 = time.time()
+        lbl, nc, _ = streaming_cluster(sf, mesh, **skw)
+        np.asarray(lbl)
+        streaming_s = round(time.time() - t0, 3)
+        streaming_clusters = int(nc)
+    except Exception as e:  # noqa: BLE001 — device faults must not kill bench
+        print(f"streaming submetric skipped: {e}", file=sys.stderr)
+
     baseline_path = os.path.join(HERE, "BASELINE_MEASURED.json")
     vs_baseline = None
     if os.path.exists(baseline_path):
@@ -114,6 +143,9 @@ def main():
         "clusters": n_clusters,
         "device": str(dev),
     }
+    if streaming_s is not None:
+        out["streaming_n16384_seconds"] = streaming_s
+        out["streaming_n16384_clusters"] = streaming_clusters
     print(json.dumps(out))
     return 0
 
