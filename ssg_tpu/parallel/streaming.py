@@ -1114,8 +1114,13 @@ def streaming_rerank_eval(
 
     from ssg_tpu.parallel.multihost import global_put
 
-    qf = np.asarray(query_features, np.float32)
-    gf = np.asarray(gallery_features, np.float32)
+    spmd = (isinstance(query_features, jax.Array)
+            and not query_features.is_fully_addressable)
+    if spmd:
+        qf, gf = query_features, gallery_features
+    else:
+        qf = np.asarray(query_features, np.float32)
+        gf = np.asarray(gallery_features, np.float32)
     nq, ng, d = qf.shape[0], gf.shape[0], qf.shape[1]
     n = nq + ng
     p = mesh.shape["data"]
@@ -1137,7 +1142,8 @@ def streaming_rerank_eval(
         while r * (npad // n_vblk) * 4 > 2**30 and npad % (n_vblk * 2) == 0:
             n_vblk *= 2
 
-    f = np.zeros((npad, d), np.float32)
+    # src[i] = row of concat(qf, gf) placed at layout slot i (-1 = pad).
+    src = np.full((npad,), -1, np.int64)
     valid = np.zeros((npad,), bool)
     row_qid = np.zeros((npad,), np.int32)
     row_qcam = np.zeros((npad,), np.int32)
@@ -1154,7 +1160,7 @@ def streaming_rerank_eval(
         q0, q1 = me * qr, min((me + 1) * qr, nq)
         m = max(q1 - q0, 0)
         if m:
-            f[lo:lo + m] = qf[q0:q1]
+            src[lo:lo + m] = np.arange(q0, q1)
             valid[lo:lo + m] = True
             row_qmask[lo:lo + m] = True
             row_qid[lo:lo + m] = q_ids[q0:q1]
@@ -1162,18 +1168,39 @@ def streaming_rerank_eval(
         g0, g1 = me * gr, min((me + 1) * gr, ng)
         m = max(g1 - g0, 0)
         if m:
-            f[lo + qr:lo + qr + m] = gf[g0:g1]
+            src[lo + qr:lo + qr + m] = nq + np.arange(g0, g1)
             valid[lo + qr:lo + qr + m] = True
             col_gmask[lo + qr:lo + qr + m] = True
             col_gid[lo + qr:lo + qr + m] = g_ids[g0:g1]
             col_gcam[lo + qr:lo + qr + m] = g_cams[g0:g1]
+
+    if spmd:
+        # Process-spanning inputs (multi-host extract feeding eval): the
+        # permutation must run as one SPMD program — eager numpy fills
+        # cannot read global arrays. Pad slots gather a zero row.
+        idx = np.where(src < 0, n, src)
+
+        @functools.partial(jax.jit, out_shardings=jax.NamedSharding(
+            mesh, P("data", None)))
+        def build(q, g):
+            allf = jnp.concatenate(
+                [q.astype(jnp.float32), g.astype(jnp.float32),
+                 jnp.zeros((1, d), jnp.float32)], axis=0)
+            return jnp.take(allf, jnp.asarray(idx), axis=0)
+
+        f_placed = build(qf, gf)
+    else:
+        f = np.zeros((npad, d), np.float32)
+        live = src >= 0
+        f[live] = np.concatenate([qf, gf], axis=0)[src[live]]
+        f_placed = global_put(mesh, f, P("data", None))
 
     k1 = min(int(k1), n - 1)
     k2 = min(int(k2), n - 1)
     nqc = -(-qr // c)  # query chunks per shard (static, mesh-uniform)
     rep = lambda x: global_put(mesh, x, P())  # noqa: E731
     ap, cmc, nv = _rerank_eval_impl(
-        global_put(mesh, f, P("data", None)), rep(valid),
+        f_placed, rep(valid),
         rep(row_qid), rep(row_qcam), rep(row_qmask),
         rep(col_gid), rep(col_gcam), rep(col_gmask),
         nqc, mesh, k1, k2, float(lambda_value), int(c), l1_impl, n_vblk,

@@ -124,6 +124,50 @@ print(f"process {pid}: iteration done, kept={history[0]['kept']}, "
 """
 
 
+_EVAL_WORKER = """
+import os, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+pid, port, out_dir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+from jax.sharding import PartitionSpec as P
+from ssg_tpu.parallel import initialize_multihost, make_mesh
+from ssg_tpu.parallel.multihost import global_put
+from ssg_tpu.parallel.streaming import streaming_rerank_eval
+initialize_multihost(coordinator=f"127.0.0.1:{port}", num_processes=2,
+                     process_id=pid)
+assert jax.process_count() == 2 and jax.device_count() == 8
+mesh = make_mesh()
+
+rng = np.random.default_rng(11)
+ids = 10
+centers = rng.normal(size=(ids, 24))
+def make(n):
+    pid_ = rng.integers(0, ids, n)
+    cam = rng.integers(0, 4, n)
+    x = centers[pid_] + 0.25 * rng.normal(size=(n, 24))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x.astype(np.float32), pid_, cam
+qf, q_ids, q_cams = make(64)
+gf, g_ids, g_cams = make(136)
+
+# Row-sharded global arrays (the multi-host extract output layout):
+# non-addressable on every process, forcing the SPMD layout branch.
+qg = global_put(mesh, qf, P("data", None))
+gg = global_put(mesh, gf, P("data", None))
+assert not qg.is_fully_addressable
+
+mAP, cmc, nv = streaming_rerank_eval(
+    qg, gg, mesh, q_ids, g_ids, q_cams, g_cams,
+    k1=8, k2=3, lambda_value=0.1, chunk=8,
+)
+np.save(os.path.join(out_dir, f"eval_{pid}.npy"),
+        np.concatenate([[mAP, float(nv)], np.asarray(cmc)]))
+print(f"process {pid}: mAP={mAP:.5f} nv={nv}")
+"""
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -171,6 +215,57 @@ def test_streaming_cluster_across_processes(tmp_path):
         assert int(meta[0]) == int(want_n)
         assert meta[1] == pytest.approx(float(want_eps), rel=1e-6)
     assert int(want_n) > 0
+
+
+def test_rerank_eval_across_processes(tmp_path):
+    """streaming_rerank_eval fed process-spanning global features (the
+    multi-host extract output) must take the SPMD layout branch and match
+    the single-process host-layout run."""
+    port = _free_port()
+    worker = tmp_path / "eval_worker.py"
+    worker.write_text(_EVAL_WORKER)
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), str(port), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=540)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+
+    from ssg_tpu.parallel import make_mesh
+    from ssg_tpu.parallel.streaming import streaming_rerank_eval
+
+    rng = np.random.default_rng(11)
+    ids = 10
+    centers = rng.normal(size=(ids, 24))
+
+    def make(n):
+        pid = rng.integers(0, ids, n)
+        cam = rng.integers(0, 4, n)
+        x = centers[pid] + 0.25 * rng.normal(size=(n, 24))
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        return x.astype(np.float32), pid, cam
+
+    qf, q_ids, q_cams = make(64)
+    gf, g_ids, g_cams = make(136)
+    want_map, want_cmc, want_nv = streaming_rerank_eval(
+        qf, gf, make_mesh(8), q_ids, g_ids, q_cams, g_cams,
+        k1=8, k2=3, lambda_value=0.1, chunk=8,
+    )
+    assert want_nv > 0
+    for pid in range(2):
+        got = np.load(tmp_path / f"eval_{pid}.npy")
+        assert got[0] == pytest.approx(want_map, abs=1e-6)
+        assert int(got[1]) == want_nv
+        np.testing.assert_allclose(got[2:], want_cmc, atol=1e-6)
 
 
 def test_full_ssg_iteration_across_processes(tmp_path):
