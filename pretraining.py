@@ -34,6 +34,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weight_decay", type=float, default=5e-4)
     p.add_argument("--margin", type=float, default=0.3)
     p.add_argument("--ce_weight", type=float, default=1.0)
+    p.add_argument("--loss", type=str, default="softmax",
+                   choices=["softmax", "oim"],
+                   help="identity loss: per-branch softmax CE (classifier "
+                        "heads) or OIM on the whole-body embedding "
+                        "(open-reid's softmax-free baseline, loss/oim.py)")
+    p.add_argument("--oim_temperature", type=float, default=0.1)
+    p.add_argument("--oim_momentum", type=float, default=0.5)
     p.add_argument("--epochs", type=int, default=70)
     p.add_argument("--num_parts", type=int, default=3)
     p.add_argument("--print_freq", type=int, default=10)
@@ -71,7 +78,9 @@ def main(argv=None):
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = models.create(
         args.arch, num_features=args.num_features, dropout=args.dropout,
-        num_classes=num_ids, num_parts=args.num_parts, dtype=dtype,
+        # OIM replaces the softmax classifier: no logits heads needed.
+        num_classes=num_ids if args.loss == "softmax" else 0,
+        num_parts=args.num_parts, dtype=dtype,
     )
     cfg = PretrainConfig(
         epochs=args.epochs, batch_size=args.batch_size,
@@ -80,6 +89,8 @@ def main(argv=None):
         weight_decay=args.weight_decay, num_parts=args.num_parts,
         height=args.height, width=args.width, print_freq=args.print_freq,
         seed=args.seed, logs_dir=args.logs_dir,
+        loss=args.loss, oim_temperature=args.oim_temperature,
+        oim_momentum=args.oim_momentum,
     )
     _, variables = run_pretrain(model, src, cfg, logger=logger)
     print(f"saved {args.logs_dir}/source_checkpoint")

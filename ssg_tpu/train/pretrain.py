@@ -14,6 +14,7 @@ from __future__ import annotations
 import dataclasses
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 
@@ -30,6 +31,13 @@ class PretrainConfig:
     num_instances: int = 4
     margin: float = 0.3
     ce_weight: float = 1.0
+    # "softmax": per-branch CE on identity logits (classifier heads).
+    # "oim": Online Instance Matching on the whole-body embedding
+    # (loss/oim.py) — the open-reid softmax-free baseline; the model needs
+    # no classifier heads (num_classes=0). Triplet runs in both modes.
+    loss: str = "softmax"
+    oim_temperature: float = 0.1
+    oim_momentum: float = 0.5
     lr: float = 3.5e-4
     weight_decay: float = 5e-4
     lr_decay_epochs: tuple = (40, 60)  # step-decay x0.1 (re-ID convention)
@@ -64,13 +72,29 @@ def run_pretrain(model, src, config: PretrainConfig | None = None,
         optax.piecewise_constant_schedule(cfg.lr, boundaries),
         weight_decay=cfg.weight_decay,
     )
+    if variables is None:
+        variables = model.init(
+            rng, jnp.zeros((2, cfg.height, cfg.width, 3), jnp.float32),
+            train=False,
+        )
+    lut = None
+    if cfg.loss == "oim":
+        out = jax.eval_shape(
+            lambda v, x: model.apply(v, x, train=False),
+            variables, jnp.zeros((2, cfg.height, cfg.width, 3), jnp.float32),
+        )
+        feat_dim = out["embeddings"].shape[-1]
+        lut = jnp.zeros((len(pids), feat_dim), jnp.float32)
     state = create_train_state(
         model, rng, input_shape=(2, cfg.height, cfg.width, 3), tx=tx,
-        variables=variables,
+        variables=variables, lut=lut,
     )
     step = make_train_step(
         model, margin=cfg.margin, num_parts=cfg.num_parts,
-        ce_weight=cfg.ce_weight, height=cfg.height, width=cfg.width,
+        ce_weight=cfg.ce_weight if cfg.loss != "oim" else 0.0,
+        height=cfg.height, width=cfg.width,
+        oim_weight=1.0 if cfg.loss == "oim" else 0.0,
+        oim_temperature=cfg.oim_temperature, oim_momentum=cfg.oim_momentum,
     )
     trainer = Trainer(step, print_freq=cfg.print_freq, logger=logger)
 

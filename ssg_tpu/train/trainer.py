@@ -30,6 +30,9 @@ from ssg_tpu.utils.meters import AverageMeter
 
 class TrainState(train_state.TrainState):
     batch_stats: Any = None
+    # OIM lookup table (num_classes, F), threaded functionally through the
+    # step when the OIM loss is enabled (loss/oim.py); None otherwise.
+    lut: Any = None
 
 
 def create_train_state(
@@ -40,6 +43,7 @@ def create_train_state(
     learning_rate: float = 6e-5,
     weight_decay: float = 5e-4,
     variables: dict | None = None,
+    lut: Any = None,
 ) -> TrainState:
     """Initialize (or adopt converted torch) variables + optimizer.
 
@@ -59,6 +63,7 @@ def create_train_state(
         apply_fn=model.apply,
         params=variables["params"],
         batch_stats=variables.get("batch_stats"),
+        lut=lut,
         tx=tx,
     )
 
@@ -71,6 +76,9 @@ def make_train_step(
     height: int = 256,
     width: int = 128,
     remat: bool = False,
+    oim_weight: float = 0.0,
+    oim_temperature: float = 0.1,
+    oim_momentum: float = 0.5,
 ) -> Callable:
     """Build the jitted SSG train step.
 
@@ -81,6 +89,12 @@ def make_train_step(
     ``labels[num_parts]`` of true identity labels (-1 = unknown, masked) and
     a per-branch cross-entropy on it is added — the SSG++ supervised term
     (ssg_tpu/train/semi.py).
+
+    ``oim_weight > 0`` adds the open-reid Online Instance Matching loss
+    (loss/oim.py; SURVEY.md §2 #7 [LOW] surface) on the L2-normalized
+    whole-body embedding against the same identity row ``labels[num_parts]``;
+    ``state.lut`` must be a (num_classes, F) table (create_train_state's
+    ``lut=``) — it is momentum-updated through the state each step.
     """
 
     # donate_argnums: the old state's param/opt buffers are dead after the
@@ -126,13 +140,26 @@ def make_train_step(
                     total = total + ce_weight * jnp.sum(
                         jnp.where(mask, ce, 0.0)
                     ) / jnp.maximum(jnp.sum(mask), 1)
-            return total, (updates, jnp.stack(precs))
+            new_lut = state.lut
+            if oim_weight > 0.0:
+                from ssg_tpu.loss.oim import oim_loss
 
-        (loss, (updates, precs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+                w = emb[0].astype(jnp.float32)  # whole-body branch
+                w = w / jnp.maximum(
+                    jnp.linalg.norm(w, axis=1, keepdims=True), 1e-12
+                )
+                oim, new_lut = oim_loss(
+                    state.lut, w, labels[num_parts],
+                    temperature=oim_temperature, momentum=oim_momentum,
+                )
+                total = total + oim_weight * oim
+            return total, (updates, jnp.stack(precs), new_lut)
+
+        (loss, (updates, precs, new_lut)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         state = state.apply_gradients(grads=grads)
-        state = state.replace(batch_stats=updates["batch_stats"])
+        state = state.replace(batch_stats=updates["batch_stats"], lut=new_lut)
         return state, {"loss": loss, "prec": jnp.mean(precs)}
 
     return step
