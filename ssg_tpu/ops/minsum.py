@@ -111,3 +111,32 @@ def sparse_minsum(ci: jax.Array, cv: jax.Array, cj: jax.Array,
     vjr = jnp.moveaxis(vj.reshape(b, q // qb, qb, s), 1, 0)
     out = jax.lax.map(block, (cjr, vjr))  # (q//qb, b, qb)
     return jnp.moveaxis(out, 0, 1).reshape(b, q)
+
+
+def sparse_minsum_pairs(ci: jax.Array, cv: jax.Array, cj: jax.Array,
+                        vj: jax.Array, qblock: int = 4) -> jax.Array:
+    """``sparse_minsum`` where the ROW side also varies per slot.
+
+    All four operands are (b, Q, S): slot q of batch row i pairs row table
+    (ci[i,q], cv[i,q]) against column table (cj[i,q], vj[i,q]) — the layout
+    after cross-row slot compaction (streaming's grouped main sweep), where
+    a "batch row" carries slots belonging to different matrix rows. Same
+    semantics per slot as ``sparse_minsum``: distinct indices within each
+    table, zero-valued pad slots are inert on spurious matches.
+    """
+    b, q, s = ci.shape
+    qb = max(min(qblock, q), 1)
+    while q % qb:
+        qb -= 1
+
+    def block(args):
+        cib, cvb, cjb, vjb = args  # (b, qb, S)
+        match = cib[:, :, :, None] == cjb[:, :, None, :]
+        mn = jnp.minimum(cvb[:, :, :, None], vjb[:, :, None, :])
+        return jnp.sum(jnp.where(match, mn, 0.0), axis=(2, 3))
+
+    def rs(x):
+        return jnp.moveaxis(x.reshape(b, q // qb, qb, s), 1, 0)
+
+    out = jax.lax.map(block, (rs(ci), rs(cv), rs(cj), rs(vj)))
+    return jnp.moveaxis(out, 0, 1).reshape(b, q)

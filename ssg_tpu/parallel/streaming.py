@@ -306,7 +306,7 @@ def _phases12(f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile,
     bound_ctx = None
     if support_cap > 0:
         from ssg_tpu.ops.minsum import (compact_rows, fd_lower, minsum_upper,
-                                        sparse_minsum, support_mask)
+                                        sparse_minsum_pairs, support_mask)
 
         s_sup = min(int(support_cap), npad)
         # bf16 V stripe, hoisted once (the rotating operand of the
@@ -365,21 +365,25 @@ def _phases12(f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile,
             )
             return fd_lower(minsum_upper(g), orig, lambda_value), orig
 
-        def slot_fd(c, cols, orig):
-            """Exact re-ranked distance for the selected candidate columns
-            of my chunk c rows, from the compacted (idx, val) tables."""
+        def slot_fd_pairs(c, rowl, cols, orig):
+            """Exact re-ranked distance for grouped slots of my chunk c:
+            ``rowl`` (bg, Q) row-in-chunk and ``cols`` (bg, Q) absolute
+            column per slot, from the compacted (idx, val) tables. The row
+            table varies per slot (cross-row compaction), so both sides
+            gather — sparse_minsum_pairs."""
             rows0 = c * b
-            ci = jax.lax.dynamic_slice(cidx_loc, (rows0, 0), (b, s_sup))
-            cv = jax.lax.dynamic_slice(cval_loc, (rows0, 0), (b, s_sup))
-            ms = sparse_minsum(ci, cv, jnp.take(cidx_all, cols, axis=0),
-                               jnp.take(cval_all, cols, axis=0))
+            ci = jnp.take(cidx_loc, rows0 + rowl, axis=0)  # (bg, Q, S)
+            cv = jnp.take(cval_loc, rows0 + rowl, axis=0)
+            ms = sparse_minsum_pairs(
+                ci, cv, jnp.take(cidx_all, cols, axis=0),
+                jnp.take(cval_all, cols, axis=0))
             jac = 1.0 - ms / (2.0 - ms)
-            o = jnp.take_along_axis(orig, cols, axis=1)
+            o = jnp.take(orig.reshape(-1), rowl * npad + cols)
             return jnp.maximum(
                 jac * (1.0 - lambda_value) + o * lambda_value, 0.0)
 
-        bound_ctx = {"bound_chunk": bound_chunk, "slot_fd": slot_fd,
-                     "sup_ovf": sup_ovf}
+        bound_ctx = {"bound_chunk": bound_chunk,
+                     "slot_fd_pairs": slot_fd_pairs, "sup_ovf": sup_ovf}
 
     return (final_chunk, final_rows, rows_valid, chunk_valid, row0_global,
             col_valid, npad, r, bound_ctx)
@@ -402,6 +406,19 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
     b = chunk
     n_chunks = r // b
     cap = min(band_cap, npad)
+    # Grouped slot compaction (main sweep): per-row amk must budget cap for
+    # the WORST row (~0.017*N measured max candidates), but the mean is
+    # ~0.0025*N — so G=8 rows' slots re-compact into gcap = 2*cap, a 4x cut
+    # of the exact-correction work (its S x S compare-select dominates the
+    # main sweep) with 3.6x headroom over the measured group mean. Group
+    # overflow is an exact count check routed to the same fallback as
+    # per-row overflow.
+    g_rows = 8 if b % 8 == 0 else (4 if b % 4 == 0 else (2 if b % 2 == 0
+                                                         else 1))
+    if cap == 0:
+        g_rows, gcap = 1, 0
+    else:
+        gcap = min(2 * cap, g_rows * cap)
 
     l1_tile = _l1_pallas if l1_impl == "pallas" or (
         l1_impl == "auto" and on_tpu()) else _l1_xla
@@ -530,8 +547,10 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
         # Soundness guards: per-row candidate overflow, V-support overflow
         # (compaction would under-count ms), and the existing post-hoc
         # k-th/eps region checks all force the exact-sweep fallback.
+        bg = b // g_rows  # slot-groups per chunk
+
         def sweep_main(c, carry):
-            pruned, cc_acc, cf_acc, ovf = carry
+            pruned, cc_acc, cf_acc, cr_acc, ovf = carry
             rows = row0_global + c * b + jnp.arange(b, dtype=jnp.int32)
             ok = (rows[:, None] < n) & col_valid[None, :]
             if cap > 0:
@@ -553,12 +572,32 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
                     # (measured 10x slower than its sort at this cap).
                     neg, cols = jax.lax.top_k(-key, cap)
                     lbv = -neg
-                fd_s = bound_ctx["slot_fd"](c, cols, orig)
-                fd_s = jnp.where(jnp.isfinite(lbv), fd_s, jnp.inf)
-                cc_acc = jax.lax.dynamic_update_slice(cc_acc, cols,
-                                                      (c * b, 0))
+                # Cross-row compaction: G rows' slots -> gcap. Selection is
+                # by the lower bound, but when the group's live count fits
+                # gcap (exact check; overflow -> fallback) EVERY live slot
+                # survives, so exactness never rests on the bound.
+                keyg = lbv.reshape(bg, g_rows * cap)
+                ovf = ovf | jnp.any(jnp.sum(
+                    jnp.isfinite(keyg).astype(jnp.int32), axis=1) > gcap)
+                if on_tpu():
+                    lbg, flat = jax.lax.approx_min_k(keyg, gcap,
+                                                     recall_target=1.0)
+                else:
+                    negg, flat = jax.lax.top_k(-keyg, gcap)
+                    lbg = -negg
+                rowg = (flat // cap).astype(jnp.int32)  # row-in-group
+                colg = jnp.take_along_axis(
+                    cols.reshape(bg, g_rows * cap), flat, axis=1)
+                rowl = jnp.arange(bg, dtype=jnp.int32)[:, None] * g_rows \
+                    + rowg  # row-in-chunk
+                fd_s = bound_ctx["slot_fd_pairs"](c, rowl, colg, orig)
+                fd_s = jnp.where(jnp.isfinite(lbg), fd_s, jnp.inf)
+                cc_acc = jax.lax.dynamic_update_slice(cc_acc, colg,
+                                                      (c * bg, 0))
                 cf_acc = jax.lax.dynamic_update_slice(cf_acc, fd_s,
-                                                      (c * b, 0))
+                                                      (c * bg, 0))
+                cr_acc = jax.lax.dynamic_update_slice(cr_acc, rowg,
+                                                      (c * bg, 0))
             else:
                 # cap=0 statically disables the fused path (escape hatch +
                 # deterministic tests): one exact sweep still provides the
@@ -567,21 +606,27 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
                 fd = final_chunk(c)
                 pruned += jnp.sum(
                     (chunk_valid(c) & (fd != 0.0)).astype(jnp.int32))
-            return pruned, cc_acc, cf_acc, ovf
+            return pruned, cc_acc, cf_acc, cr_acc, ovf
 
         with jax.named_scope("s_p3_main"):
-            (pruned, cand_col, cand_fd, cand_ovf) = jax.lax.fori_loop(
-                0, n_chunks, sweep_main,
-                (jnp.int32(0),
-                 jnp.full((r, max(cap, 1)), npad, jnp.int32),
-                 jnp.full((r, max(cap, 1)), jnp.inf, jnp.float32),
-                 jnp.bool_(cap == 0)),
-            )
+            (pruned, cand_col, cand_fd, cand_row, cand_ovf) = \
+                jax.lax.fori_loop(
+                    0, n_chunks, sweep_main,
+                    (jnp.int32(0),
+                     jnp.full((r // g_rows, max(gcap, 1)), npad, jnp.int32),
+                     jnp.full((r // g_rows, max(gcap, 1)), jnp.inf,
+                              jnp.float32),
+                     jnp.zeros((r // g_rows, max(gcap, 1)), jnp.int32),
+                     jnp.bool_(cap == 0)),
+                )
 
         # Slot-level stats (exact values for every pair with fd <= r_hi).
-        rows_g = row0_global + jnp.arange(r, dtype=jnp.int32)
+        # Global/local matrix row per slot, from the grouped layout.
+        grp0 = jnp.arange(r // g_rows, dtype=jnp.int32)[:, None] * g_rows
+        rows_loc = grp0 + cand_row  # (r//G, gcap) local row in [0, r)
+        rows_gs = row0_global + rows_loc
         live = jnp.isfinite(cand_fd)
-        slot_tri = live & (cand_fd != 0.0) & (cand_col > rows_g[:, None])
+        slot_tri = live & (cand_fd != 0.0) & (cand_col > rows_gs)
         below_m = slot_tri & (cand_fd <= r_lo)
         total = jax.lax.psum(
             pruned + jnp.sum(slot_tri.astype(jnp.int32)), "data")
@@ -606,13 +651,14 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
 
         # Region pairs compact once more before the eps histograms: TPU
         # scatter costs ~9 ns/element INCLUDING dead slots, so 5 scatter
-        # passes over the (r, cap) slot array were 0.41 s at N=16,384
-        # (cap=576) while the live region pairs are ~16/row. One exact
-        # approx_min_k narrows the domain to (r, eps_cap); rows with more
-        # region pairs than eps_cap (exact count check) fall back to
-        # eps_slow ONLY — the adjacency fast path is unaffected.
-        ecap = min(max(64, round_up(cap // 8, 64)), max(cap, 1)) \
-            if eps_cap is None else min(int(eps_cap), max(cap, 1))
+        # passes over the full slot array were 0.41 s at N=16,384 while the
+        # live region pairs are ~16 per matrix row. One exact approx_min_k
+        # narrows the domain to (r//G, eps_cap) over the grouped slots;
+        # slot-rows with more region pairs than eps_cap (exact count check)
+        # fall back to eps_slow ONLY — the adjacency fast path is
+        # unaffected.
+        ecap = min(max(64, round_up(gcap // 8, 64)), max(gcap, 1)) \
+            if eps_cap is None else min(int(eps_cap), max(gcap, 1))
         reg_ovf = jax.lax.pmax(
             jnp.any(jnp.sum(tri_c.astype(jnp.int32), axis=1) > ecap)
             .astype(jnp.int32), "data") > 0
@@ -783,9 +829,11 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
                 sel, jnp.uint8(1) << (cand_col & 7).astype(jnp.uint8),
                 jnp.uint8(0),
             )
+            # Grouped layout: the destination row varies per slot (rows_loc)
+            # — the scatter domain is (r//G, gcap), 4x fewer dead slots
+            # than the per-row (r, cap) layout at G=8.
             return jnp.zeros((r, nbytes), jnp.uint8) \
-                .at[jnp.arange(r, dtype=jnp.int32)[:, None], byte] \
-                .add(val, mode="drop")
+                .at[rows_loc, byte].add(val, mode="drop")
 
         def adj_sweep(_):
             def adj_body(c, acc):
@@ -986,11 +1034,14 @@ def streaming_cluster(
     fraction rho of N^2 pairs). ``band_cap=0`` disables the fused path
     entirely (always resweep). ``support_cap`` bounds the compacted-V row
     width; V rows with more nonzeros (k1-driven, ~54 mean / 110 max on
-    real features) also force the exact fallback. ``eps_cap`` (default:
-    band_cap/8, >= 64) bounds the second compaction that narrows the eps
-    histograms to the live region pairs (~16/row); overflow downgrades
-    the eps computation ONLY (exact two-sweep recompute) — the adjacency
-    fast path stays engaged. Pass ``diag`` (a dict) to receive
+    real features) also force the exact fallback. Candidate slots of G=8
+    adjacent rows re-compact into 2*band_cap grouped slots (exact
+    group-count overflow check -> same fallback), cutting the exact
+    S x S correction ~4x. ``eps_cap`` (default: grouped cap/8, >= 64)
+    bounds the second compaction that narrows the eps histograms to the
+    live region pairs (~16/row); overflow downgrades the eps computation
+    ONLY (exact two-sweep recompute) — the adjacency fast path stays
+    engaged. Pass ``diag`` (a dict) to receive
     ``{"band_fallback": bool, "fallback_code": int, ...}`` for perf
     attribution.
     """

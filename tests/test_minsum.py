@@ -98,3 +98,40 @@ def test_bound_is_usefully_tight():
     # random sparse rows rarely overlap: nearly everything sits near
     # jac ~ 1, so a mid-range radius prunes nearly all pairs
     assert (fd_lb > 0.6).mean() > 0.9
+
+
+def test_sparse_minsum_pairs_matches_dense():
+    """Per-slot row tables (the grouped main sweep's layout) agree with the
+    dense min-sum for arbitrary (row, col) slot assignments."""
+    from ssg_tpu.ops.minsum import sparse_minsum_pairs
+
+    rng = np.random.default_rng(3)
+    b, n, s, q = 6, 120, 12, 8
+    v = _sparse_rows(rng, 32, n, s)
+    rows = rng.integers(0, 32, size=(b, q))
+    cols = rng.integers(0, 32, size=(b, q))
+    ti, tv = compact_rows(jnp.asarray(v), s)
+    ci = jnp.take(ti, jnp.asarray(rows), axis=0)
+    cv = jnp.take(tv, jnp.asarray(rows), axis=0)
+    cj = jnp.take(ti, jnp.asarray(cols), axis=0)
+    vj = jnp.take(tv, jnp.asarray(cols), axis=0)
+    got = np.asarray(sparse_minsum_pairs(ci, cv, cj, vj, qblock=4))
+    want = np.minimum(v[rows], v[cols]).sum(-1)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_sparse_minsum_pairs_ragged_qblock():
+    from ssg_tpu.ops.minsum import sparse_minsum_pairs
+
+    rng = np.random.default_rng(4)
+    v = _sparse_rows(rng, 10, 50, 6)
+    rows = rng.integers(0, 10, size=(3, 5))  # q=5 prime: qblock falls to 1
+    cols = rng.integers(0, 10, size=(3, 5))
+    ti, tv = compact_rows(jnp.asarray(v), 6)
+    got = np.asarray(sparse_minsum_pairs(
+        jnp.take(ti, jnp.asarray(rows), axis=0),
+        jnp.take(tv, jnp.asarray(rows), axis=0),
+        jnp.take(ti, jnp.asarray(cols), axis=0),
+        jnp.take(tv, jnp.asarray(cols), axis=0), qblock=4))
+    want = np.minimum(v[rows], v[cols]).sum(-1)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
