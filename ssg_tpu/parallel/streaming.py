@@ -730,7 +730,15 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
         def eps_slow(_):
             """Sample misled or capacity overflowed: exact two-sweep eps
             (comparison-histogram coarse sweep to locate the k-th bin,
-            then a full-scatter fine sweep — the pre-sampling program)."""
+            then a full-scatter fine sweep — the pre-sampling program).
+
+            k is re-derived from THIS sweep's exact histogram total, not
+            the slot-based ``total``: a capacity overflow drops live slots,
+            so the slot total undercounts nonzero pairs — using it here
+            made the "exact" fallback land on a slightly-low k (measured:
+            one extra cluster at N=256 under band_cap=1). When no slots
+            were dropped the two totals are equal, so this is a strict
+            superset of the old behavior."""
             def coarse_body(c, h):
                 fd = final_chunk(c)
                 tri = chunk_valid(c) & (fd != 0.0)
@@ -739,6 +747,9 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
             hist0 = jax.lax.fori_loop(
                 0, n_chunks, coarse_body, jnp.zeros((_BINS,), jnp.int32))
             hist0 = jax.lax.psum(hist0, "data")
+            k = jnp.maximum(jnp.round(
+                rho * jnp.sum(hist0).astype(jnp.float32)).astype(jnp.int32),
+                1)
             cum0 = jnp.cumsum(hist0)
             bin0 = jnp.searchsorted(cum0, k, side="left").astype(jnp.int32)
             lo1 = bin0.astype(jnp.float32) * w0

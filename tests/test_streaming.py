@@ -240,3 +240,27 @@ def test_streaming_rerank_eval_ragged_and_tiny_query():
         assert got_map == pytest.approx(float(want["mAP"]), abs=1e-5)
         np.testing.assert_allclose(got_cmc, np.asarray(want["cmc"]),
                                    atol=1e-6)
+
+
+def test_streaming_group_overflow_fallback_stays_exact():
+    """Grouped slot compaction: rows that each fit band_cap but whose
+    G-row group exceeds the 2*band_cap grouped capacity must trip the
+    exact count check (fb bit 1) and fall back to the exact sweeps with
+    dense-identical labels."""
+    mesh = make_mesh(8)
+    feats = _feats(23, 256, 16)
+    # chunk=8 -> G=8; band_cap=8 -> gcap=16. Clustered rows carry well
+    # over 2 candidates each on average, so per-row counts fit 8 while
+    # every group of 8 rows overflows 16.
+    kw = dict(k1=8, k2=3, lambda_value=0.1, rho=0.02, min_samples=3, chunk=8)
+
+    dist = re_ranking(features=feats, k1=8, k2=3, lambda_value=0.1)
+    want_labels, want_n, _ = cluster(dist, rho=0.02, min_samples=3)
+    assert want_n > 0
+
+    diag = {}
+    labels, n_clusters, _ = streaming_cluster(
+        feats, mesh, band_cap=8, diag=diag, **kw)
+    assert diag["band_fallback"] is True and (diag["fallback_code"] & 1)
+    assert int(n_clusters) == want_n
+    np.testing.assert_array_equal(np.asarray(labels), want_labels)
