@@ -89,6 +89,37 @@ def ring_pairwise(
     return acc
 
 
+def ring_gather_sum(
+    idx: jax.Array, b_local: jax.Array, axis: str = "data"
+) -> jax.Array:
+    """out[i] = sum_t B[idx[i, t]] for B row-sharded as (r, M) stripes.
+
+    The one-hot-GEMM formulation (membership (b, N) @ B via ring_contract)
+    pays b*N*M fp32 MACs per device for what is a k-row gather-sum
+    (k = idx.shape[1], e.g. the k2 ~ 6 of query expansion) — ~N/k fewer
+    FLOPs this way. Rows of idx must be distinct per row (top-k output);
+    accumulation order is t-ascending within each visit, visits in ring
+    order — deterministic and independent of column blocking.
+    """
+    p = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    r = b_local.shape[0]
+    acc = jnp.zeros((idx.shape[0], b_local.shape[1]), jnp.float32)
+    block = b_local
+    for s in range(p):
+        owner = (me - s) % p
+        loc = idx - owner * r
+        hit = (loc >= 0) & (loc < r)
+        # One (b, M) gather per list slot: the (b, k, M) form would
+        # materialize a multi-hundred-MB transient at production chunks.
+        for t in range(idx.shape[1]):
+            g = jnp.take(block, jnp.clip(loc[:, t], 0, r - 1), axis=0)
+            acc = acc + jnp.where(hit[:, t, None], g, 0.0)
+        if s + 1 < p:
+            block = jax.lax.ppermute(block, axis, _shift_perm(p))
+    return acc
+
+
 def ring_contract(
     a_local: jax.Array, b_local: jax.Array, axis: str = "data"
 ) -> jax.Array:

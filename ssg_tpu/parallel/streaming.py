@@ -50,7 +50,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ssg_tpu.ops._compat import on_tpu, round_up
 from ssg_tpu.ops.l1 import _l1_pallas, _l1_xla
-from ssg_tpu.parallel.ring import ring_contract, ring_pairwise
+from ssg_tpu.parallel.ring import (ring_contract, ring_gather_sum,
+                                   ring_pairwise)
 from ssg_tpu.parallel.sharded import _pad_rows
 
 _BINS = 8192
@@ -230,14 +231,15 @@ def _phases12(f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile,
         )
 
     # Query expansion: one ring pass per chunk against the V stripes.
-    # (nn2 indices are k2-NN; a one-hot GEMM against row-sharded V.)
+    # (nn2 indices are k2-NN; a k2-row gather-sum from the row-sharded V —
+    # the one-hot-GEMM formulation paid b*N*cb fp32 MACs per visit for the
+    # same 6-row mean.)
     def build_vqe(c, acc):
         rows0 = c * b
         i2 = jax.lax.dynamic_slice(nn2, (rows0, 0), (b, k2))
-        a2 = _member_chunk(i2, npad).astype(jnp.float32)
         return tuple(
             jax.lax.dynamic_update_slice(
-                a, ring_contract(a2, vb) / float(k2), (rows0, 0)
+                a, ring_gather_sum(i2, vb) / float(k2), (rows0, 0)
             )
             for a, vb in zip(acc, v_blks)
         )

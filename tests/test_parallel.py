@@ -149,3 +149,31 @@ def test_extract_features_sharded_matches_single():
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-5)
     np.testing.assert_array_equal(p1, p2)
     assert n1 == n2
+
+
+def test_ring_gather_sum_matches_onehot_gemm():
+    """ring_gather_sum (the QE k-row gather) must equal the one-hot GEMM
+    contraction it replaced, for arbitrary global row indices."""
+    from jax.sharding import PartitionSpec as P
+
+    from ssg_tpu.parallel import make_mesh
+    from ssg_tpu.parallel.ring import ring_gather_sum
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(5)
+    n, m, b, k = 64, 16, 24, 5
+    v = rng.normal(size=(n, m)).astype(np.float32)
+    idx = np.stack([rng.choice(n, size=k, replace=False)
+                    for _ in range(b)]).astype(np.int32)
+
+    def impl(idx_rep, v_local):
+        return ring_gather_sum(jnp.asarray(idx_rep), v_local)
+
+    out = jax.shard_map(
+        impl, mesh=mesh, in_specs=(P(), P("data", None)),
+        out_specs=P(), check_vma=False,
+    )(jnp.asarray(idx), jnp.asarray(v))
+    want = np.zeros((b, m), np.float32)
+    for i in range(b):
+        want[i] = v[idx[i]].sum(0)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6, atol=1e-6)
