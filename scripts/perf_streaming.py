@@ -59,7 +59,10 @@ def main():
     t_first = time.perf_counter() - t0
     print(f"first call (incl. compile) {t_first:.1f}s: "
           f"{int(n_clusters)} clusters, eps={float(eps):.4f}, "
-          f"band_fallback={diag['band_fallback']}", flush=True)
+          f"band_fallback={diag['band_fallback']} "
+          f"fb_code={diag['fallback_code']} "
+          f"dbscan_rounds={diag['dbscan_rounds']} "
+          f"region_pairs={diag['region_tri_pairs']}", flush=True)
 
     if trace_dir:
         jax.profiler.start_trace(trace_dir)
