@@ -658,8 +658,12 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
         # narrows the domain to (r//G, eps_cap) over the grouped slots;
         # slot-rows with more region pairs than eps_cap (exact count check)
         # fall back to eps_slow ONLY — the adjacency fast path is
-        # unaffected.
-        ecap = min(max(64, round_up(gcap // 8, 64)), max(gcap, 1)) \
+        # unaffected. Default gcap//2 = G*cap/4: the same per-matrix-row
+        # capacity (cap/8 at G=8) and scatter budget as the pre-grouping
+        # per-row scheme — gcap//8 was measured too tight (the N=4096 CPU
+        # probe overflowed every realistic group and silently paid the
+        # two dense eps_slow sweeps).
+        ecap = min(max(64, round_up(gcap // 2, 64)), max(gcap, 1)) \
             if eps_cap is None else min(int(eps_cap), max(gcap, 1))
         reg_ovf = jax.lax.pmax(
             jnp.any(jnp.sum(tri_c.astype(jnp.int32), axis=1) > ecap)
