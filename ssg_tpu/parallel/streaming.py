@@ -57,6 +57,35 @@ from ssg_tpu.parallel.sharded import _pad_rows
 _BINS = 8192
 
 
+def _group_geometry(b: int, cap: int) -> tuple[int, int]:
+    """(g_rows, gcap) for the main sweep's grouped slot compaction.
+
+    Per-row approx_min_k must budget ``cap`` for the WORST row (~0.017*N
+    measured max candidates) while the mean is ~0.0025*N, so G=8 adjacent
+    rows' slots re-compact into gcap = 2*cap — a 4x cut of the exact S x S
+    correction with ~3.6x headroom over the measured group mean. Group
+    overflow is an exact count check routed to the same fallback as
+    per-row overflow. G shrinks to keep dividing the chunk; cap == 0 (the
+    fused path statically disabled) degenerates to no grouping.
+    """
+    g_rows = 8 if b % 8 == 0 else (4 if b % 4 == 0 else (2 if b % 2 == 0
+                                                         else 1))
+    if cap == 0:
+        return 1, 0
+    return g_rows, min(2 * cap, g_rows * cap)
+
+
+def _default_eps_cap(g_rows: int, gcap: int) -> int:
+    """Default grouped eps-compaction width (slots per slot-row).
+
+    Invariant (regression-tested): the per-MATRIX-row capacity
+    ecap / g_rows must never fall below the pre-grouping, measured-safe
+    per-row budget cap//8 — gcap//8 violated it 4x and silently sent eps
+    to the two dense exact sweeps on realistic data (fb bit 16).
+    """
+    return min(max(64, round_up(gcap // 2, 64)), max(gcap, 1))
+
+
 def _member_chunk(lists_rows: jax.Array, npad: int) -> jax.Array:
     """(B, k) per-row index lists -> (B, npad) bool membership."""
     b = lists_rows.shape[0]
@@ -408,19 +437,7 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
     b = chunk
     n_chunks = r // b
     cap = min(band_cap, npad)
-    # Grouped slot compaction (main sweep): per-row amk must budget cap for
-    # the WORST row (~0.017*N measured max candidates), but the mean is
-    # ~0.0025*N — so G=8 rows' slots re-compact into gcap = 2*cap, a 4x cut
-    # of the exact-correction work (its S x S compare-select dominates the
-    # main sweep) with 3.6x headroom over the measured group mean. Group
-    # overflow is an exact count check routed to the same fallback as
-    # per-row overflow.
-    g_rows = 8 if b % 8 == 0 else (4 if b % 4 == 0 else (2 if b % 2 == 0
-                                                         else 1))
-    if cap == 0:
-        g_rows, gcap = 1, 0
-    else:
-        gcap = min(2 * cap, g_rows * cap)
+    g_rows, gcap = _group_geometry(b, cap)
 
     l1_tile = _l1_pallas if l1_impl == "pallas" or (
         l1_impl == "auto" and on_tpu()) else _l1_xla
@@ -658,12 +675,10 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
         # narrows the domain to (r//G, eps_cap) over the grouped slots;
         # slot-rows with more region pairs than eps_cap (exact count check)
         # fall back to eps_slow ONLY — the adjacency fast path is
-        # unaffected. Default gcap//2 = G*cap/4: the same per-matrix-row
-        # capacity (cap/8 at G=8) and scatter budget as the pre-grouping
-        # per-row scheme — gcap//8 was measured too tight (the N=4096 CPU
-        # probe overflowed every realistic group and silently paid the
-        # two dense eps_slow sweeps).
-        ecap = min(max(64, round_up(gcap // 2, 64)), max(gcap, 1)) \
+        # unaffected. Default: _default_eps_cap (gcap//2 = G*cap/4 — the
+        # same per-matrix-row capacity and scatter budget as the
+        # pre-grouping per-row scheme; see its invariant note).
+        ecap = _default_eps_cap(g_rows, gcap) \
             if eps_cap is None else min(int(eps_cap), max(gcap, 1))
         reg_ovf = jax.lax.pmax(
             jnp.any(jnp.sum(tri_c.astype(jnp.int32), axis=1) > ecap)

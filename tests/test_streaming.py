@@ -264,3 +264,26 @@ def test_streaming_group_overflow_fallback_stays_exact():
     assert diag["band_fallback"] is True and (diag["fallback_code"] & 1)
     assert int(n_clusters) == want_n
     np.testing.assert_array_equal(np.asarray(labels), want_labels)
+
+
+def test_grouped_capacity_defaults_invariants():
+    """The grouped-compaction defaults must never shrink the measured-safe
+    per-MATRIX-row budgets: group capacity >= per-row cap (no group can
+    hold less than one row's worst case) and eps capacity per matrix row
+    >= the pre-grouping cap//8 budget (gcap//8 violated this 4x and
+    silently routed eps to the dense exact sweeps on realistic data)."""
+    from ssg_tpu.parallel.streaming import _default_eps_cap, _group_geometry
+
+    for b in (4, 8, 12, 64, 256, 1024):
+        for cap in (0, 64, 256, 576, 1152, 4224):
+            g, gcap = _group_geometry(b, cap)
+            assert b % g == 0
+            if cap == 0:
+                assert (g, gcap) == (1, 0)
+                continue
+            assert cap <= gcap <= g * cap
+            ecap = _default_eps_cap(g, gcap)
+            assert 64 <= ecap <= gcap or gcap < 64
+            # per-matrix-row eps capacity >= old per-row budget (cap//8),
+            # whenever the group capacity itself allows it.
+            assert ecap >= min(g * (cap // 8), gcap)
