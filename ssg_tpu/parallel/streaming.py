@@ -595,7 +595,19 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
                 # by the lower bound, but when the group's live count fits
                 # gcap (exact check; overflow -> fallback) EVERY live slot
                 # survives, so exactness never rests on the bound.
-                keyg = lbv.reshape(bg, g_rows * cap)
+                # Groups take STRIDED rows (i, i+bg, i+2bg, ...): real
+                # extracted features arrive identity-ordered, so adjacent
+                # rows share a cluster and their candidate counts correlate
+                # — a dense cluster would overflow adjacent groups in
+                # lockstep (the round-3 sampler-bias failure pattern).
+                # Strided composition decorrelates: one worst-case row per
+                # group costs 278 + 7*40 << gcap.
+                def grp(x):
+                    return jnp.swapaxes(
+                        x.reshape(g_rows, bg, cap), 0, 1
+                    ).reshape(bg, g_rows * cap)
+
+                keyg = grp(lbv)
                 ovf = ovf | jnp.any(jnp.sum(
                     jnp.isfinite(keyg).astype(jnp.int32), axis=1) > gcap)
                 if on_tpu():
@@ -605,10 +617,9 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
                     negg, flat = jax.lax.top_k(-keyg, gcap)
                     lbg = -negg
                 rowg = (flat // cap).astype(jnp.int32)  # row-in-group
-                colg = jnp.take_along_axis(
-                    cols.reshape(bg, g_rows * cap), flat, axis=1)
-                rowl = jnp.arange(bg, dtype=jnp.int32)[:, None] * g_rows \
-                    + rowg  # row-in-chunk
+                colg = jnp.take_along_axis(grp(cols), flat, axis=1)
+                rowl = rowg * bg \
+                    + jnp.arange(bg, dtype=jnp.int32)[:, None]  # row-in-chunk
                 fd_s = bound_ctx["slot_fd_pairs"](c, rowl, colg, orig)
                 fd_s = jnp.where(jnp.isfinite(lbg), fd_s, jnp.inf)
                 cc_acc = jax.lax.dynamic_update_slice(cc_acc, colg,
@@ -640,9 +651,12 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
                 )
 
         # Slot-level stats (exact values for every pair with fd <= r_hi).
-        # Global/local matrix row per slot, from the grouped layout.
-        grp0 = jnp.arange(r // g_rows, dtype=jnp.int32)[:, None] * g_rows
-        rows_loc = grp0 + cand_row  # (r//G, gcap) local row in [0, r)
+        # Global/local matrix row per slot, from the grouped layout:
+        # accumulator row a holds chunk a//bg's slot-group a%bg, whose
+        # row-in-group t is the STRIDED chunk row t*bg + (a%bg).
+        arow = jnp.arange(r // g_rows, dtype=jnp.int32)[:, None]
+        grp0 = (arow // bg) * b + (arow % bg)
+        rows_loc = grp0 + cand_row * bg  # (r//G, gcap) local row in [0, r)
         rows_gs = row0_global + rows_loc
         live = jnp.isfinite(cand_fd)
         slot_tri = live & (cand_fd != 0.0) & (cand_col > rows_gs)

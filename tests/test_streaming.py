@@ -287,3 +287,31 @@ def test_grouped_capacity_defaults_invariants():
             # per-matrix-row eps capacity >= old per-row budget (cap//8),
             # whenever the group capacity itself allows it.
             assert ecap >= min(g * (cap // 8), gcap)
+
+
+def test_streaming_fast_path_on_identity_ordered_features():
+    """Real extraction emits identity-ORDERED features: adjacent rows share
+    a cluster, which historically biased every row-position-dependent
+    heuristic (the round-3 sampler bias; adjacent-row slot grouping). On
+    ordered data the DEFAULT knobs must keep the whole fast path engaged
+    (fallback_code == 0 — engagement, not just label exactness, is the
+    regression surface here) and stay dense-exact."""
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(29)
+    n, ids = 2048, 96
+    c = rng.normal(size=(ids, 96))
+    assign = np.sort(rng.integers(0, ids, n))
+    x = c[assign] + 0.25 * rng.normal(size=(n, 96))
+    x = (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+    kw = dict(k1=20, k2=6, lambda_value=0.1, rho=1.6e-3, min_samples=4)
+
+    dist = re_ranking(features=jnp.asarray(x), k1=20, k2=6, lambda_value=0.1)
+    want_labels, want_n, _ = cluster(dist, rho=1.6e-3, min_samples=4)
+    assert want_n > 0
+
+    diag = {}
+    labels, n_clusters, _ = streaming_cluster(
+        jnp.asarray(x), mesh, chunk=128, diag=diag, **kw)
+    assert diag["fallback_code"] == 0, diag
+    assert int(n_clusters) == want_n
+    np.testing.assert_array_equal(np.asarray(labels), want_labels)
