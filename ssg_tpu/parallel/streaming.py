@@ -55,6 +55,10 @@ from ssg_tpu.parallel.ring import (ring_contract, ring_gather_sum,
 from ssg_tpu.parallel.sharded import _pad_rows
 
 _BINS = 8192
+# Coarse bins for the phase-3 SAMPLE histogram: it only locates the eps
+# region (exact checks verify it post hoc), and its noise floor is the
+# sampling error (~±37*w0 measured), so 64*w0-wide bins lose nothing.
+_BINS_S = _BINS // 64
 
 
 def _group_geometry(b: int, cap: int) -> tuple[int, int]:
@@ -211,9 +215,19 @@ def _phases12(f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile,
         blk & row_valid[:, None] & blocks(col_valid[None, :])[i]
         for i, blk in enumerate(rh_blks)
     )
+    # |Rh(i)| straight from the (npad, half+1) lists: every member of
+    # Rh(i) is an entry j of nnh[i] with i in nnh[j] — an 11x11 compare
+    # per row. The former dense formulation (convert+reduce over the
+    # (r, npad) bool rh stripe) was the largest unattributed op in the
+    # round-3 device trace (0.21 s at N=16,384) for the same counts.
+    rows_g = row0_global + jnp.arange(r, dtype=jnp.int32)
+    with jax.named_scope("s_p1_recip"):
+        neigh_lists = jnp.take(nnh_all, nnh, axis=0)  # (r, half+1, half+1)
+        recip_m = jnp.any(neigh_lists == rows_g[:, None, None], axis=-1)
+        szl = jnp.sum(
+            (recip_m & jnp.take(col_valid, nnh)).astype(jnp.float32), axis=1)
     sz = jax.lax.all_gather(
-        sum(jnp.sum(blk.astype(jnp.float32), axis=1) for blk in rh_blks),
-        "data", tiled=True,
+        jnp.where(row_valid, szl, 0.0), "data", tiled=True,
     )  # |Rh(c)| for all c
 
     # ---- phase 2: V stripe (column blocks) ---------------------------
@@ -523,35 +537,55 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
                             np.int32, count=b))
             fd0 = final_rows(rows_s)
             tri0 = rows_valid(row0_global + rows_s) & (fd0 != 0.0)
-            hs = jax.lax.psum(hist_full(fd0, tri0), "data")  # P sample chunks
+            # The sample only LOCATES the eps region — its resolution need
+            # not beat the sampling noise (measured ~±37*w0 on real
+            # features), so COARSE bins (64*w0 wide) suffice for the bin
+            # index, and the value sums that feed e_lo/e_hi are computed
+            # EXACTLY with one masked reduction instead of fine-bin edge
+            # sums. The former _BINS-bin compare-reduce was the largest
+            # unattributed op in the round-3 device trace (0.21 s at
+            # N=16,384 — it histogrammed 16M sample elements at 8,192
+            # bins); 128 bins cost ~3 ms for the same downstream region.
+            w_s = hi0 / _BINS_S
+            ci_s = jnp.where(
+                tri0, jnp.clip((fd0 / w_s).astype(jnp.int32), 0,
+                               _BINS_S - 1), _BINS_S)
+            if on_tpu():
+                hs_l = jnp.sum(
+                    ci_s[:, :, None] == jnp.arange(_BINS_S, dtype=jnp.int32),
+                    axis=(0, 1), dtype=jnp.int32)
+            else:
+                hs_l = jnp.zeros((_BINS_S + 1,), jnp.int32) \
+                    .at[ci_s.ravel()].add(1)[:_BINS_S]
+            hs = jax.lax.psum(hs_l, "data")  # P sample chunks
 
-        # Sampled eps/kth region (generous slack; verified post-hoc).
-        s_total = jnp.sum(hs)
-        k_s = jnp.maximum(jnp.round(
-            rho * s_total.astype(jnp.float32)).astype(jnp.int32), 1)
-        cum_s = jnp.cumsum(hs)
-        b_s = jnp.minimum(
-            jnp.searchsorted(cum_s, k_s, side="left").astype(jnp.int32),
-            _BINS - 1)
-        below_s = jnp.where(b_s > 0, cum_s[jnp.maximum(b_s - 1, 0)], 0)
-        bins_lo = jnp.arange(_BINS, dtype=jnp.float32) * w0
-        mask_s = jnp.arange(_BINS) < b_s
-        hsf = jnp.where(mask_s, hs, 0).astype(jnp.float32)
+            # Sampled eps/kth region (generous slack; verified post-hoc).
+            s_total = jnp.sum(hs)
+            k_s = jnp.maximum(jnp.round(
+                rho * s_total.astype(jnp.float32)).astype(jnp.int32), 1)
+            cum_s = jnp.cumsum(hs)
+            b_s = jnp.minimum(
+                jnp.searchsorted(cum_s, k_s, side="left").astype(jnp.int32),
+                _BINS_S - 1)
+            below_s = jnp.where(b_s > 0, cum_s[jnp.maximum(b_s - 1, 0)], 0)
+            sum_below = jax.lax.psum(
+                jnp.sum(jnp.where(tri0 & (ci_s < b_s), fd0, 0.0)), "data")
         rem_s = jnp.maximum(k_s - below_s, 0).astype(jnp.float32)
         ksf = k_s.astype(jnp.float32)
-        e_lo = (jnp.sum(hsf * bins_lo) + rem_s * b_s.astype(jnp.float32)
-                * w0) / ksf
-        e_hi = (jnp.sum(hsf * (bins_lo + w0))
-                + rem_s * (b_s.astype(jnp.float32) + 1.0) * w0) / ksf
+        bsf = b_s.astype(jnp.float32)
+        e_lo = (sum_below + rem_s * bsf * w_s) / ksf
+        e_hi = (sum_below + rem_s * (bsf + 1.0) * w_s) / ksf
         # Lower edge guards eps (a MEAN of the k smallest — on clustered
         # real data it sits well below the k-th value, and its sample
         # estimate carries the noise of the whole below-kth distribution),
         # so it gets double the slack of the kth-bin upper edge.
+        # Slack stays in w0 units (absolute): the coarse sample bins only
+        # QUANTIZE the k-th-bin edges, and both quantizations point
+        # outward (bin-lo can only drop, bin-hi can only rise), so the
+        # region stays sound — just up to one coarse bin (64*w0) wider.
         slack = 64.0 * w0
-        r_lo = jnp.maximum(jnp.minimum(e_lo, b_s.astype(jnp.float32) * w0)
-                           - 2.0 * slack, 0.0)
-        r_hi = jnp.maximum((b_s.astype(jnp.float32) + 1.0) * w0,
-                           e_hi) + slack
+        r_lo = jnp.maximum(jnp.minimum(e_lo, bsf * w_s) - 2.0 * slack, 0.0)
+        r_hi = jnp.maximum((bsf + 1.0) * w_s, e_hi) + slack
 
         # ---- main sweep: bound-screen + exact-correct + compaction -------
         # The exact fp32 L1 over V is VPU element work at N per pair; the
