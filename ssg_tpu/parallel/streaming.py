@@ -221,7 +221,11 @@ def _phases12(f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile,
     # (r, npad) bool rh stripe) was the largest unattributed op in the
     # round-3 device trace (0.21 s at N=16,384) for the same counts.
     rows_g = row0_global + jnp.arange(r, dtype=jnp.int32)
-    with jax.named_scope("s_p1_recip"):
+    with jax.named_scope("s_p1_rhsize"):
+        # Counting matches directly assumes each nnh row holds DISTINCT
+        # indices — true for the exact (recall_target=1.0) top-k above;
+        # a future approx/backend change that could emit duplicates would
+        # over-count vs the dense set-semantics mask this replaced.
         neigh_lists = jnp.take(nnh_all, nnh, axis=0)  # (r, half+1, half+1)
         recip_m = jnp.any(neigh_lists == rows_g[:, None, None], axis=-1)
         szl = jnp.sum(
@@ -568,13 +572,13 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
                 jnp.searchsorted(cum_s, k_s, side="left").astype(jnp.int32),
                 _BINS_S - 1)
             below_s = jnp.where(b_s > 0, cum_s[jnp.maximum(b_s - 1, 0)], 0)
-            sum_below = jax.lax.psum(
+            sum_below_s = jax.lax.psum(
                 jnp.sum(jnp.where(tri0 & (ci_s < b_s), fd0, 0.0)), "data")
         rem_s = jnp.maximum(k_s - below_s, 0).astype(jnp.float32)
         ksf = k_s.astype(jnp.float32)
         bsf = b_s.astype(jnp.float32)
-        e_lo = (sum_below + rem_s * bsf * w_s) / ksf
-        e_hi = (sum_below + rem_s * (bsf + 1.0) * w_s) / ksf
+        e_lo = (sum_below_s + rem_s * bsf * w_s) / ksf
+        e_hi = (sum_below_s + rem_s * (bsf + 1.0) * w_s) / ksf
         # Lower edge guards eps (a MEAN of the k smallest — on clustered
         # real data it sits well below the k-th value, and its sample
         # estimate carries the noise of the whole below-kth distribution),
@@ -735,11 +739,15 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
         def eps_fast(_):
             """Closed-form eps from the compacted region only.
 
-            Two-level histogram over (r_lo, r_hi]: level-2 bin width is
-            (r_hi - r_lo)/_BINS^2 <= ~5e-10, sub-ulp for values >= ~0.005
-            (stronger than the old full-range guarantee of >= hi0/8);
-            tied values below that share a bin whose min is still the
-            correct order statistic to within the tie collapse.
+            Two-level histogram over (r_lo, r_hi]: the region is at most
+            ~3 coarse sample bins + slack wide (the coarse sampling
+            quantizes each edge outward by up to one 64*w0 bin, on top of
+            the 3*slack = 192*w0 budget), so the level-2 bin width
+            (r_hi - r_lo)/_BINS^2 <= ~390*w0/2^26 ~ 8e-10 — still sub-ulp
+            for values >= ~0.007 (stronger than the old full-range
+            guarantee of >= hi0/8); tied values below that share a bin
+            whose min is still the correct order statistic to within the
+            tie collapse.
             """
             key = jnp.where(tri_c, cand_fd, jnp.inf)
             if on_tpu():
