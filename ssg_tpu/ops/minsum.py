@@ -28,7 +28,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ssg_tpu.ops._compat import on_tpu
+from ssg_tpu.ops.topk import exact_max_k
 
 # Inflation for the bf16 mask-GEMM bound: operand rounding is <= 2^-9
 # relative (round-to-nearest bf16), fp32 accumulation over N terms adds
@@ -74,10 +74,7 @@ def compact_rows(v: jax.Array, s_cap: int):
     overflows (the dropped smallest values would under-count ms).
     """
     s = min(int(s_cap), v.shape[1])
-    if on_tpu():
-        neg, idx = jax.lax.approx_min_k(-v, s, recall_target=1.0)
-        return idx, -neg
-    val, idx = jax.lax.top_k(v, s)
+    val, idx = exact_max_k(v, s)
     return idx, val
 
 

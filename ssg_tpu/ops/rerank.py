@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from ssg_tpu.ops.distance import pairwise_distance
 from ssg_tpu.ops.l1 import l1_distance
+from ssg_tpu.ops.topk import exact_min_k
 
 
 def _membership(indices: jax.Array, n: int) -> jax.Array:
@@ -53,15 +54,15 @@ def _re_ranking_impl(
     col_max = jnp.maximum(jnp.max(original_dist, axis=0), 1e-12)
     orig = (original_dist / col_max).T
 
-    # Rank-list membership masks. approx_min_k with recall_target=1.0 is the
-    # TPU-native exact top-k (two-pass partial reduction instead of a full
-    # sort — the sorts were ~25% of this graph's device time). Its default
-    # aggregate_to_topk=True returns SORTED neighbors, so the k1/2 list is
-    # a prefix slice of the k1 list — one top-k pass instead of two
+    # Rank-list membership masks. exact_min_k (ops/topk.py) is the
+    # TPU-native exact top-k (block-min prefilter + two narrow partial
+    # reductions instead of a full sort — the sorts were ~25% of this
+    # graph's device time). It returns SORTED neighbors, so the k1/2 list
+    # is a prefix slice of the k1 list — one top-k pass instead of two
     # (round 2; same trick in parallel/streaming phase 1).
     half = int(round(k1 / 2.0))
     with jax.named_scope("rr_topk"):
-        _, nn1 = jax.lax.approx_min_k(orig, k1 + 1, recall_target=1.0)
+        _, nn1 = exact_min_k(orig, k1 + 1)
     nnh = nn1[:, : half + 1]
     with jax.named_scope("rr_masks"):
         m1 = _membership(nn1, n)
@@ -97,7 +98,7 @@ def _re_ranking_impl(
         with jax.named_scope("rr_qe"):
             # k2 <= k1 in every reference config -> prefix of sorted nn1.
             nn2 = nn1[:, :k2] if k2 <= k1 + 1 else (
-                jax.lax.approx_min_k(orig, k2, recall_target=1.0)[1])
+                exact_min_k(orig, k2)[1])
             a2 = _membership(nn2, n).astype(jnp.float32)
             # HIGHEST: V carries real values (not 0/1 counts like the
             # masks above), so default bf16 MXU passes would cost parity.

@@ -28,6 +28,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ssg_tpu.ops._compat import on_tpu, round_up
 from ssg_tpu.ops.l1 import _l1_pallas, _l1_xla
+from ssg_tpu.ops.topk import exact_min_k
 from ssg_tpu.parallel.ring import ring_contract, ring_pairwise, stripe_transpose
 from ssg_tpu.parallel.sharded import _global_rows, _pad_rows
 
@@ -89,9 +90,12 @@ def sharded_re_ranking(
         orig = d / row_scale[:, None]
 
         # --- rank-list membership masks --------------------------------
-        score = jnp.where(col_valid[None, :], -orig, -jnp.inf)
-        _, nn1 = jax.lax.top_k(score, k1 + 1)
-        _, nnh = jax.lax.top_k(score, half + 1)
+        # exact_min_k returns SORTED neighbors, so the k1/2 and k2 lists
+        # are prefix slices — one selection pass instead of three (and on
+        # TPU the blocked prefilter instead of a full-width sort).
+        score = jnp.where(col_valid[None, :], orig, jnp.inf)
+        _, nn1 = exact_min_k(score, k1 + 1)
+        nnh = nn1[:, : half + 1]
         valid2d = row_valid[:, None] & col_valid[None, :]
         m1 = _membership_stripe(nn1, npad) & valid2d
         mh = _membership_stripe(nnh, npad) & valid2d
@@ -120,7 +124,7 @@ def sharded_re_ranking(
         w = jnp.where(expanded, jnp.exp(-orig), 0.0)
         v = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-30)
         if k2 != 1:
-            _, nn2 = jax.lax.top_k(score, k2)
+            nn2 = nn1[:, :k2] if k2 <= k1 + 1 else exact_min_k(score, k2)[1]
             a2 = (_membership_stripe(nn2, npad) & valid2d).astype(jnp.float32)
             v = ring_contract(a2, v) / float(k2)
 

@@ -50,6 +50,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ssg_tpu.ops._compat import on_tpu, round_up
 from ssg_tpu.ops.l1 import _l1_pallas, _l1_xla
+from ssg_tpu.ops.topk import exact_min_k
 from ssg_tpu.parallel.ring import (ring_contract, ring_gather_sum,
                                    ring_pairwise)
 from ssg_tpu.parallel.sharded import _pad_rows
@@ -160,13 +161,13 @@ def _phases12(f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile,
         nn1, nnh, nn2, colmax = carry
         d = dist_chunk(c)
         score = jnp.where(col_valid[None, :], d, jnp.inf)
-        # aggregate_to_topk (default) returns SORTED neighbors, so the
-        # k1/2 and k2 lists are prefix slices — one top-k pass per
-        # chunk instead of three (k2 <= k1 in every reference config).
-        _, i1 = jax.lax.approx_min_k(score, k1 + 1, recall_target=1.0)
+        # exact_min_k returns SORTED neighbors, so the k1/2 and k2 lists
+        # are prefix slices — one top-k pass per chunk instead of three
+        # (k2 <= k1 in every reference config).
+        _, i1 = exact_min_k(score, k1 + 1)
         ih = i1[:, : half + 1]
         i2 = i1[:, :k2] if k2 <= k1 + 1 else (
-            jax.lax.approx_min_k(score, k2, recall_target=1.0)[1])
+            exact_min_k(score, k2)[1])
         nn1 = jax.lax.dynamic_update_slice(nn1, i1, (c * b, 0))
         nnh = jax.lax.dynamic_update_slice(nnh, ih, (c * b, 0))
         nn2 = jax.lax.dynamic_update_slice(nn2, i2, (c * b, 0))
@@ -551,17 +552,24 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
             # N=16,384 — it histogrammed 16M sample elements at 8,192
             # bins); 128 bins cost ~3 ms for the same downstream region.
             w_s = hi0 / _BINS_S
-            ci_s = jnp.where(
-                tri0, jnp.clip((fd0 / w_s).astype(jnp.int32), 0,
-                               _BINS_S - 1), _BINS_S)
-            if on_tpu():
-                hs_l = jnp.sum(
-                    ci_s[:, :, None] == jnp.arange(_BINS_S, dtype=jnp.int32),
-                    axis=(0, 1), dtype=jnp.int32)
-            else:
-                hs_l = jnp.zeros((_BINS_S + 1,), jnp.int32) \
-                    .at[ci_s.ravel()].add(1)[:_BINS_S]
-            hs = jax.lax.psum(hs_l, "data")  # P sample chunks
+
+            def sample_hist(idx, mask):
+                """Histogram of the sample at _BINS_S bins, backend-tuned
+                (compare-reduce on TPU, scatter-add on the CPU test mesh —
+                same counts; see hist_full)."""
+                flat = jnp.where(mask, idx, _BINS_S)
+                if on_tpu():
+                    h = jnp.sum(
+                        flat[:, :, None] == jnp.arange(_BINS_S,
+                                                       dtype=jnp.int32),
+                        axis=(0, 1), dtype=jnp.int32)
+                else:
+                    h = jnp.zeros((_BINS_S + 1,), jnp.int32) \
+                        .at[flat.ravel()].add(1)[:_BINS_S]
+                return jax.lax.psum(h, "data")  # P sample chunks
+
+            ci_s = jnp.clip((fd0 / w_s).astype(jnp.int32), 0, _BINS_S - 1)
+            hs = sample_hist(ci_s, tri0)
 
             # Sampled eps/kth region (generous slack; verified post-hoc).
             s_total = jnp.sum(hs)
@@ -572,24 +580,49 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
                 jnp.searchsorted(cum_s, k_s, side="left").astype(jnp.int32),
                 _BINS_S - 1)
             below_s = jnp.where(b_s > 0, cum_s[jnp.maximum(b_s - 1, 0)], 0)
-            sum_below_s = jax.lax.psum(
-                jnp.sum(jnp.where(tri0 & (ci_s < b_s), fd0, 0.0)), "data")
-        rem_s = jnp.maximum(k_s - below_s, 0).astype(jnp.float32)
+            # Second level: re-histogram the k-th COARSE bin's sample
+            # values at _BINS_S sub-bins (w_f = 64*w0/128 = w0/2). The
+            # coarse pass alone snapped the region edges to 64*w0-bin
+            # boundaries; measured at N=24,576 (synthetic, eps in the
+            # distribution bulk at ~850k pairs per coarse bin) that one
+            # extra bin per side inflated the candidate band 639k -> 2.3M
+            # pairs and overflowed every cap — a silent fast-path loss
+            # worth two orders of magnitude (4.9 s -> 48 s). One more
+            # ~3 ms compare-reduce restores sub-w0 edges.
+            w_f = w_s / _BINS_S
+            lo_s = b_s.astype(jnp.float32) * w_s
+            in_b = tri0 & (ci_s == b_s)
+            fi_s = jnp.clip(((fd0 - lo_s) / w_f).astype(jnp.int32),
+                            0, _BINS_S - 1)
+            hf = sample_hist(fi_s, in_b)
+            cum_f = below_s + jnp.cumsum(hf)
+            b_f = jnp.minimum(
+                jnp.searchsorted(cum_f, k_s, side="left").astype(jnp.int32),
+                _BINS_S - 1)
+            kth_lo = lo_s + b_f.astype(jnp.float32) * w_f
+            kth_hi = kth_lo + w_f
+            below_f = jnp.where(b_f > 0, cum_f[jnp.maximum(b_f - 1, 0)],
+                                below_s)
+            # Exact sum of sampled values below the k-th SUB-bin (one
+            # masked reduction — no fine-bin edge sums needed).
+            sum_below_f = jax.lax.psum(jnp.sum(jnp.where(
+                tri0 & ((ci_s < b_s) | (in_b & (fi_s < b_f))),
+                fd0, 0.0)), "data")
+        rem_s = jnp.maximum(k_s - below_f, 0).astype(jnp.float32)
         ksf = k_s.astype(jnp.float32)
-        bsf = b_s.astype(jnp.float32)
-        e_lo = (sum_below_s + rem_s * bsf * w_s) / ksf
-        e_hi = (sum_below_s + rem_s * (bsf + 1.0) * w_s) / ksf
+        e_lo = (sum_below_f + rem_s * kth_lo) / ksf
+        e_hi = (sum_below_f + rem_s * kth_hi) / ksf
         # Lower edge guards eps (a MEAN of the k smallest — on clustered
         # real data it sits well below the k-th value, and its sample
         # estimate carries the noise of the whole below-kth distribution),
         # so it gets double the slack of the kth-bin upper edge.
-        # Slack stays in w0 units (absolute): the coarse sample bins only
-        # QUANTIZE the k-th-bin edges, and both quantizations point
-        # outward (bin-lo can only drop, bin-hi can only rise), so the
-        # region stays sound — just up to one coarse bin (64*w0) wider.
+        # Slack stays in w0 units (absolute): the two-level sample bins
+        # quantize the k-th-bin edges by at most w_f = w0/2, outward only
+        # (kth_lo can only drop, kth_hi can only rise), so the region
+        # stays sound and at most w0 wider than the fine-swept edges.
         slack = 64.0 * w0
-        r_lo = jnp.maximum(jnp.minimum(e_lo, bsf * w_s) - 2.0 * slack, 0.0)
-        r_hi = jnp.maximum((bsf + 1.0) * w_s, e_hi) + slack
+        r_lo = jnp.maximum(jnp.minimum(e_lo, kth_lo) - 2.0 * slack, 0.0)
+        r_hi = jnp.maximum(kth_hi, e_hi) + slack
 
         # ---- main sweep: bound-screen + exact-correct + compaction -------
         # The exact fp32 L1 over V is VPU element work at N per pair; the
@@ -620,15 +653,10 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
                 ovf = ovf | jnp.any(
                     jnp.sum(candm.astype(jnp.int32), axis=1) > cap)
                 key = jnp.where(candm, fd_lb, jnp.inf)
-                if on_tpu():
-                    # Exact TPU top-k via the two-pass partial reduction.
-                    lbv, cols = jax.lax.approx_min_k(key, cap,
-                                                     recall_target=1.0)
-                else:
-                    # XLA:CPU emulates approx_min_k with reduce-window
-                    # (measured 10x slower than its sort at this cap).
-                    neg, cols = jax.lax.top_k(-key, cap)
-                    lbv = -neg
+                # Exact capture of every candidate (row count <= cap is
+                # checked above); selection ORDER is free — only the set
+                # feeds the slot stats/scatters downstream.
+                lbv, cols = exact_min_k(key, cap)
                 # Cross-row compaction: G rows' slots -> gcap. Selection is
                 # by the lower bound, but when the group's live count fits
                 # gcap (exact check; overflow -> fallback) EVERY live slot
@@ -648,12 +676,7 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
                 keyg = grp(lbv)
                 ovf = ovf | jnp.any(jnp.sum(
                     jnp.isfinite(keyg).astype(jnp.int32), axis=1) > gcap)
-                if on_tpu():
-                    lbg, flat = jax.lax.approx_min_k(keyg, gcap,
-                                                     recall_target=1.0)
-                else:
-                    negg, flat = jax.lax.top_k(-keyg, gcap)
-                    lbg = -negg
+                lbg, flat = exact_min_k(keyg, gcap)
                 rowg = (flat // cap).astype(jnp.int32)  # row-in-group
                 colg = jnp.take_along_axis(grp(cols), flat, axis=1)
                 rowl = rowg * bg \
@@ -740,22 +763,17 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
             """Closed-form eps from the compacted region only.
 
             Two-level histogram over (r_lo, r_hi]: the region is at most
-            ~3 coarse sample bins + slack wide (the coarse sampling
-            quantizes each edge outward by up to one 64*w0 bin, on top of
-            the 3*slack = 192*w0 budget), so the level-2 bin width
-            (r_hi - r_lo)/_BINS^2 <= ~390*w0/2^26 ~ 8e-10 — still sub-ulp
-            for values >= ~0.007 (stronger than the old full-range
+            3*slack + kth-bin wide (the two-level sampling quantizes each
+            edge outward by at most one w0/2 sub-bin, on top of the
+            3*slack = 192*w0 budget), so the level-2 bin width
+            (r_hi - r_lo)/_BINS^2 <= ~194*w0/2^26 ~ 4e-10 — still sub-ulp
+            for values >= ~0.0035 (stronger than the old full-range
             guarantee of >= hi0/8); tied values below that share a bin
             whose min is still the correct order statistic to within the
             tie collapse.
             """
             key = jnp.where(tri_c, cand_fd, jnp.inf)
-            if on_tpu():
-                rvals, _ = jax.lax.approx_min_k(key, ecap,
-                                                recall_target=1.0)
-            else:
-                neg, _ = jax.lax.top_k(-key, ecap)
-                rvals = -neg
+            rvals, _ = exact_min_k(key, ecap)
             rlive = jnp.isfinite(rvals)
             fdr = rvals.ravel()
             w_a = (r_hi - r_lo) / _BINS

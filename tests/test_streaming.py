@@ -118,7 +118,13 @@ def test_streaming_fast_path_deterministic_on_ties():
 
     diag = {}
     labels, n_clusters, eps = streaming_cluster(feats, mesh, diag=diag, **kw)
-    assert diag["band_fallback"] is False  # ties must not break the screen
+    # Ties must not break the SCREEN: no candidate-cap (1) or V-support
+    # (8) overflow. The sample-region bits (2/4) are data-dependent on a
+    # 96-point mass-duplicated input — the mean-of-k-smallest-nonzero is
+    # knife-edged there, and a legitimate tie-break change (e.g. the
+    # selection backend) can push eps outside the sampled region; the
+    # designed response is the exact fallback, not a wider region.
+    assert diag["fallback_code"] & (1 | 8) == 0
     labels2, n2, eps2 = streaming_cluster(feats, mesh, col_blocks=2, **kw)
     np.testing.assert_array_equal(np.asarray(labels), np.asarray(labels2))
     assert float(eps) == float(eps2) and int(n_clusters) == int(n2)
