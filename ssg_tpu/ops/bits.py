@@ -18,7 +18,6 @@ import jax.numpy as jnp
 # numpy at module scope (no backend touch at import time); jnp lifts these
 # to on-device constants inside traced functions.
 _WEIGHTS = np.asarray([1, 2, 4, 8, 16, 32, 64, 128], np.uint8)
-_POPCOUNT = np.asarray([bin(i).count("1") for i in range(256)], np.int32)
 
 
 def pack_bits(x: jax.Array) -> jax.Array:
@@ -36,5 +35,16 @@ def unpack_bits(x: jax.Array, cols: int) -> jax.Array:
 
 
 def popcount(x: jax.Array) -> jax.Array:
-    """Per-byte set-bit count, uint8 -> int32 (256-entry table lookup)."""
-    return jnp.take(jnp.asarray(_POPCOUNT), x.astype(jnp.int32))
+    """Per-byte set-bit count, uint8 -> int32 (branch-free SWAR).
+
+    The obvious 256-entry table lookup is a GATHER, and TPU gathers
+    serialize at ~8-9 ns/element — measured 0.276 s for one pass over the
+    N=16,384 adjacency stripe (33.5 MB), which made the DBSCAN degree scan
+    the second-largest phase of the whole streaming pipeline. Three uint8
+    shift/mask/add steps are pure VPU vector work for the same counts.
+    """
+    x = x.astype(jnp.uint8)
+    v = x - ((x >> 1) & jnp.uint8(0x55))
+    v = (v & jnp.uint8(0x33)) + ((v >> 2) & jnp.uint8(0x33))
+    v = (v + (v >> 4)) & jnp.uint8(0x0F)
+    return v.astype(jnp.int32)

@@ -644,7 +644,8 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
             rows = row0_global + c * b + jnp.arange(b, dtype=jnp.int32)
             ok = (rows[:, None] < n) & col_valid[None, :]
             if cap > 0:
-                fd_lb, orig = bound_ctx["bound_chunk"](c)
+                with jax.named_scope("s_p3m_bound"):
+                    fd_lb, orig = bound_ctx["bound_chunk"](c)
                 candm = ok & (fd_lb <= r_hi)
                 # Upper-triangle pairs pruned by the bound: all nonzero
                 # (fd >= fd_lb > r_hi > 0), counted without their values.
@@ -656,7 +657,8 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
                 # Exact capture of every candidate (row count <= cap is
                 # checked above); selection ORDER is free — only the set
                 # feeds the slot stats/scatters downstream.
-                lbv, cols = exact_min_k(key, cap)
+                with jax.named_scope("s_p3m_topk_row"):
+                    lbv, cols = exact_min_k(key, cap)
                 # Cross-row compaction: G rows' slots -> gcap. Selection is
                 # by the lower bound, but when the group's live count fits
                 # gcap (exact check; overflow -> fallback) EVERY live slot
@@ -676,12 +678,14 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
                 keyg = grp(lbv)
                 ovf = ovf | jnp.any(jnp.sum(
                     jnp.isfinite(keyg).astype(jnp.int32), axis=1) > gcap)
-                lbg, flat = exact_min_k(keyg, gcap)
+                with jax.named_scope("s_p3m_topk_grp"):
+                    lbg, flat = exact_min_k(keyg, gcap)
                 rowg = (flat // cap).astype(jnp.int32)  # row-in-group
                 colg = jnp.take_along_axis(grp(cols), flat, axis=1)
                 rowl = rowg * bg \
                     + jnp.arange(bg, dtype=jnp.int32)[:, None]  # row-in-chunk
-                fd_s = bound_ctx["slot_fd_pairs"](c, rowl, colg, orig)
+                with jax.named_scope("s_p3m_sparse"):
+                    fd_s = bound_ctx["slot_fd_pairs"](c, rowl, colg, orig)
                 fd_s = jnp.where(jnp.isfinite(lbg), fd_s, jnp.inf)
                 cc_acc = jax.lax.dynamic_update_slice(cc_acc, colg,
                                                       (c * bg, 0))
@@ -965,7 +969,7 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
             d = jnp.sum(popcount(blk), axis=1, dtype=jnp.int32)
             return jax.lax.dynamic_update_slice(acc, d, (c * b,))
 
-        with jax.named_scope("s_p4_dbscan"):
+        with jax.named_scope("s_p4_degree"):
             degree = jax.lax.fori_loop(
                 0, n_chunks, degree_body, jnp.zeros((r,), jnp.int32)
             )
@@ -1019,7 +1023,7 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
             new = propagate(labels)
             return new, jnp.any(new != labels), rounds + 1
 
-        with jax.named_scope("s_p4_dbscan"):
+        with jax.named_scope("s_p4_prop"):
             labels, _, db_rounds = jax.lax.while_loop(
                 cond, body, (labels, start, jnp.int32(0)))
 
@@ -1032,7 +1036,7 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
             m = jnp.min(jnp.where(a, labels[None, :], big), axis=1)
             return jax.lax.dynamic_update_slice(acc, m, (c * b,))
 
-        with jax.named_scope("s_p4_dbscan"):
+        with jax.named_scope("s_p4_border"):
             core_neigh_local = jax.lax.fori_loop(
                 0, n_chunks, border_min, jnp.full((r,), big, jnp.int32)
             )
