@@ -7,7 +7,12 @@ BASELINE config 5's per-iteration projection. Every stage ends in a host
 readback (the only reliable completion barrier through this environment's
 device transport — ROADMAP measurement discipline).
 
-Usage: perf_iteration.py [N] [extract_batch] [train_batch]
+Usage: perf_iteration.py [N] [extract_batch] [train_batch] [fused]
+
+fused (default 1): cluster the 3 groups through ONE fused
+streaming_cluster_groups dispatch (what run_ssg does); 0 = three separate
+streaming_cluster calls (the round-3 shape, kept as the A/B partner for
+the dispatch-amortization claim — VERDICT r4 task #2).
 """
 
 import sys
@@ -24,7 +29,8 @@ from ssg_tpu import models
 from ssg_tpu.data import datasets
 from ssg_tpu.data.synthetic_device import DeviceRenderer
 from ssg_tpu.parallel import make_mesh
-from ssg_tpu.parallel.streaming import streaming_cluster
+from ssg_tpu.parallel.streaming import (streaming_cluster,
+                                        streaming_cluster_groups)
 from ssg_tpu.train.ssg_loop import join_rule
 from ssg_tpu.train.trainer import create_train_state, make_train_step
 from ssg_tpu.utils.cache import enable_compilation_cache
@@ -35,6 +41,7 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     ebatch = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     tbatch = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    fused = bool(int(sys.argv[4])) if len(sys.argv) > 4 else True
 
     model = models.create("resnet50", num_features=0, num_parts=3,
                           dtype=jnp.bfloat16)
@@ -79,6 +86,15 @@ def main():
     ckw = dict(k1=20, k2=6, rho=1.6e-3, min_samples=4, chunk=1024)
 
     def cluster_groups_streaming(feats, verbose=False):
+        if fused:
+            diag = {}
+            labels, counts, epss = streaming_cluster_groups(
+                feats, mesh, diag=diag, **ckw)
+            labels = np.asarray(labels)
+            if verbose:
+                print(f"    fused x3: fb_code={diag['fallback_code']}",
+                      flush=True)
+            return [(labels[g], counts[g], epss[g]) for g in range(3)]
         out = []
         for g in range(3):
             diag = {}

@@ -63,6 +63,9 @@ def main():
           f"fb_code={diag['fallback_code']} "
           f"dbscan_rounds={diag['dbscan_rounds']} "
           f"region_pairs={diag['region_tri_pairs']}", flush=True)
+    print(f"cand: row_max={diag['cand_row_max']} "
+          f"total={diag['cand_total']} "
+          f"group_max={diag['cand_group_max']}", flush=True)
 
     if trace_dir:
         jax.profiler.start_trace(trace_dir)

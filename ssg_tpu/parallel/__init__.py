@@ -23,4 +23,6 @@ from ssg_tpu.parallel.sharded import (
     sharded_select_eps,
 )
 from ssg_tpu.parallel.rerank import sharded_re_ranking
-from ssg_tpu.parallel.streaming import streaming_cluster, streaming_rerank_eval
+from ssg_tpu.parallel.streaming import (streaming_cluster,
+                                        streaming_cluster_groups,
+                                        streaming_rerank_eval)

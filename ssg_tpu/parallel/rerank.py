@@ -117,7 +117,8 @@ def sharded_re_ranking(
         sz = jax.lax.all_gather(sz_local, "data", tiled=True)  # (npad,)
         qualify = r_mask & (overlap > (2.0 / 3.0) * sz[None, :])
         expanded = r_mask | (
-            ring_contract(qualify.astype(jnp.bfloat16), rhf) > 0.0
+            ring_contract(qualify.astype(jnp.bfloat16), rhf,
+                          precision=None) > 0.0
         )
 
         # --- Gaussian-weighted encoding + query expansion ---------------

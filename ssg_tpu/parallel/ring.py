@@ -121,9 +121,19 @@ def ring_gather_sum(
 
 
 def ring_contract(
-    a_local: jax.Array, b_local: jax.Array, axis: str = "data"
+    a_local: jax.Array,
+    b_local: jax.Array,
+    axis: str = "data",
+    precision=jax.lax.Precision.HIGHEST,
 ) -> jax.Array:
-    """A_stripe (r_a, N) @ B (N, M) with B row-sharded as (r, M) stripes."""
+    """A_stripe (r_a, N) @ B (N, M) with B row-sharded as (r, M) stripes.
+
+    ``precision`` defaults to HIGHEST for real-valued contractions (query
+    expansion over V). Pass ``None`` for 0/1 mask GEMMs: the products are
+    exact in bf16 and the fp32 accumulation keeps counts exact, while
+    HIGHEST would force XLA off the native-bf16 MXU path (measured 6x on
+    the streaming expansion GEMM at N=16,384).
+    """
     p = jax.lax.axis_size(axis)
     me = jax.lax.axis_index(axis)
     r = b_local.shape[0]
@@ -138,7 +148,7 @@ def ring_contract(
             a_cols,
             block,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         )
         if s + 1 < p:
             block = jax.lax.ppermute(block, axis, _shift_perm(p))

@@ -53,8 +53,6 @@ from ssg_tpu.ops.l1 import _l1_pallas, _l1_xla
 from ssg_tpu.ops.topk import exact_min_k
 from ssg_tpu.parallel.ring import (ring_contract, ring_gather_sum,
                                    ring_pairwise)
-from ssg_tpu.parallel.sharded import _pad_rows
-
 _BINS = 8192
 # Coarse bins for the phase-3 SAMPLE histogram: it only locates the eps
 # region (exact checks verify it post hoc), and its noise floor is the
@@ -143,14 +141,23 @@ def _phases12(f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile,
         if valid_global is None else valid_global
 
     def dist_chunk(c):
-        """Squared-Euclidean distances of my chunk c rows vs all."""
+        """Squared-Euclidean distances of my chunk c rows vs all.
+
+        The optimization_barrier pins the GEMM on the MXU: without it,
+        XLA's priority fusion swallows a dot whose consumers are all
+        elementwise into a VPU kLoop fusion — measured 35 ms/chunk vs
+        ~1 ms as a real dot at (1024, 2048) x (2048, 16384) — the same
+        demotion hits every big GEMM in this pipeline whose result feeds
+        only compares/selects (overlap, expansion, screen bound).
+        """
         fc = jax.lax.dynamic_slice(f_local, (c * b, 0),
                                    (b, f_local.shape[1]))
         x2 = jnp.sum(fc * fc, axis=1, keepdims=True)
-        d = x2 + y2[None, :] - 2.0 * jnp.dot(
+        prod = jax.lax.optimization_barrier(jnp.dot(
             fc, f_all.T, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )
+        ))
+        d = x2 + y2[None, :] - 2.0 * prod
         return jnp.maximum(d, 0.0)
 
     def row_ids(c):
@@ -241,6 +248,12 @@ def _phases12(f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile,
     def gemm_t(a, bb):
         return jnp.dot(a, bb.T, preferred_element_type=jnp.float32)
 
+    # bf16 rh stripe, hoisted ONCE: build_v's two mask GEMMs each cast the
+    # full (r, npad) bool stripe per chunk visit (2 casts x n_chunks x
+    # ~0.8 GB of convert traffic at N=16,384 ~ 30 ms); the bool blocks die
+    # here, so peak HBM grows only by the bf16-vs-bool byte (stripe 2x).
+    rhbf_blks = tuple(blk.astype(jnp.bfloat16) for blk in rh_blks)
+
     def build_v(c, v_acc):
         rows0 = c * b
         d = dist_chunk(c)
@@ -249,20 +262,21 @@ def _phases12(f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile,
         r_chunk = r_chunk & col_valid[None, :]
         r_chunk_blks = blocks(r_chunk)
         # overlap[i, c] = sum_k r[i,k] rh[c,k]: additive over col blocks.
-        overlap = sum(
-            ring_pairwise(rb.astype(jnp.bfloat16),
-                          rhb.astype(jnp.bfloat16), gemm_t)
-            for rb, rhb in zip(r_chunk_blks, rh_blks)
-        )
+        # optimization_barrier after each mask GEMM: their only consumers
+        # are compares, and XLA otherwise demotes the dot into a VPU
+        # kLoop fusion (see dist_chunk; measured 45 ms/chunk each here).
+        overlap = jax.lax.optimization_barrier(sum(
+            ring_pairwise(rb.astype(jnp.bfloat16), rhb, gemm_t)
+            for rb, rhb in zip(r_chunk_blks, rhbf_blks)
+        ))
         qualify = (r_chunk & (overlap > (2.0 / 3.0) * sz[None, :])).astype(
             jnp.bfloat16
         )
         # expansion[:, block] = qualify @ rh[:, block] per column block.
         expanded_blks = tuple(
-            r_chunk_blks[i] | (
-                ring_contract(qualify, rhb.astype(jnp.bfloat16)) > 0.0
-            )
-            for i, rhb in enumerate(rh_blks)
+            r_chunk_blks[i] | (jax.lax.optimization_barrier(
+                ring_contract(qualify, rhb, precision=None)) > 0.0)
+            for i, rhb in enumerate(rhbf_blks)
         )
         expanded = jnp.concatenate(expanded_blks, axis=1)
         w = jnp.where(expanded, jnp.exp(-orig), 0.0)
@@ -303,13 +317,17 @@ def _phases12(f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile,
     )
 
     def _finalize(fc, scale_rows, vc_blks):
-        """Re-ranked distances of the given feature/V rows vs all columns."""
+        """Re-ranked distances of the given feature/V rows vs all columns.
+
+        optimization_barrier as in dist_chunk: the dot's consumers are
+        all elementwise, and XLA otherwise demotes it into a VPU kLoop
+        fusion."""
         x2 = jnp.sum(fc * fc, axis=1, keepdims=True)
-        d = jnp.maximum(
-            x2 + y2[None, :] - 2.0 * jnp.dot(
-                fc, f_all.T, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            ), 0.0)
+        prod = jax.lax.optimization_barrier(jnp.dot(
+            fc, f_all.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ))
+        d = jnp.maximum(x2 + y2[None, :] - 2.0 * prod, 0.0)
         orig = d / scale_rows[:, None]
         # ||V_i - V_j||_1 is additive over column blocks.
         l1 = sum(
@@ -400,19 +418,22 @@ def _phases12(f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile,
             fc = jax.lax.dynamic_slice(f_local, (rows0, 0),
                                        (b, f_local.shape[1]))
             x2 = jnp.sum(fc * fc, axis=1, keepdims=True)
-            d = jnp.maximum(
-                x2 + y2[None, :] - 2.0 * jnp.dot(
-                    fc, f_all.T, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                ), 0.0)
+            # Barriers as in dist_chunk/build_v: both dots feed only
+            # elementwise consumers (compares/maximum/minsum bound) and
+            # XLA otherwise demotes them into VPU kLoop fusions.
+            prod = jax.lax.optimization_barrier(jnp.dot(
+                fc, f_all.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ))
+            d = jnp.maximum(x2 + y2[None, :] - 2.0 * prod, 0.0)
             orig = d / jax.lax.dynamic_slice(row_scale, (rows0,), (b,))[:, None]
-            g = sum(
+            g = jax.lax.optimization_barrier(sum(
                 ring_pairwise(
                     support_mask(jax.lax.dynamic_slice(vb, (rows0, 0),
                                                        (b, cb))),
                     vbf, bound_tile)
                 for vb, vbf in zip(v_blks, vbf_blks)
-            )
+            ))
             return fd_lower(minsum_upper(g), orig, lambda_value), orig
 
         def slot_fd_pairs(c, rowl, cols, orig):
@@ -443,20 +464,26 @@ def _phases12(f_local, n, k1, k2, lambda_value, b, n_chunks, n_vblk, l1_tile,
     jax.jit,
     static_argnames=("mesh", "k1", "k2", "lambda_value",
                      "min_samples", "chunk", "l1_impl", "n_vblk",
-                     "with_final", "band_cap", "support_cap", "eps_cap"),
+                     "with_final", "band_cap", "support_cap", "eps_cap",
+                     "n_groups"),
 )
 def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
                     chunk, l1_impl, n_vblk=1, with_final=False,
-                    band_cap=256, support_cap=128, eps_cap=None):
+                    band_cap=256, support_cap=128, eps_cap=None,
+                    n_groups=0):
     # rho is traced (like n): per-iteration rho scheduling reuses the
-    # compiled graph.
-    npad = f.shape[0]
+    # compiled graph. n_groups > 0: f is (G, npad, D) and the per-group
+    # pipeline runs under ONE lax.map inside one shard_map program —
+    # one dispatch for all feature groups (the SSG loop's 3 groups paid
+    # a dispatch each; the dense path fuses them for the same reason).
+    npad = f.shape[-2]
     p = mesh.shape["data"]
     r = npad // p
     b = chunk
     n_chunks = r // b
     cap = min(band_cap, npad)
     g_rows, gcap = _group_geometry(b, cap)
+    assert not (n_groups and with_final), "grouped run cannot return final"
 
     l1_tile = _l1_pallas if l1_impl == "pallas" or (
         l1_impl == "auto" and on_tpu()) else _l1_xla
@@ -493,7 +520,7 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
         # closed form (two-level sub-ulp histogram over (r, cap) arrays).
         # The sample carries NO exactness burden: post-hoc checks verify
         # (a) the k-th value landed inside (r_lo, r_hi] (exact counts),
-        # (b) no row overflowed cap, (c) eps itself landed in the region;
+        # (b) no slot-group overflowed gcap, (c) eps landed in the region;
         # a mesh-uniform lax.cond re-runs full sweeps if any check fails.
         hi0 = jnp.float32(1.0 + lambda_value)  # jaccard <= 1, orig <= 1
         w0 = hi0 / _BINS
@@ -638,9 +665,20 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
         # (compaction would under-count ms), and the existing post-hoc
         # k-th/eps region checks all force the exact-sweep fallback.
         bg = b // g_rows  # slot-groups per chunk
+        # Tier width for the exact S x S correction: the grouped slot
+        # arrays budget gcap for the WORST group while the measured mean
+        # live count is ~2.2x smaller, and exact_min_k returns live slots
+        # FIRST (ascending lower bound, inf-padded tail) — so the common
+        # case corrects only the head tier and a mesh-uniform lax.cond
+        # runs the tail tier only for chunks where some group's exact
+        # live count exceeds the tier (no exactness rests on the bound:
+        # the count check is over captured slots). Tiny caps (tests,
+        # degenerate inputs) skip tiering.
+        xt = gcap if gcap <= 256 else min(
+            round_up(max(gcap // 3, 256), 64), gcap)
 
         def sweep_main(c, carry):
-            pruned, cc_acc, cf_acc, cr_acc, ovf = carry
+            pruned, cc_acc, cf_acc, cr_acc, ovf, rmax, rsum, gmax = carry
             rows = row0_global + c * b + jnp.arange(b, dtype=jnp.int32)
             ok = (rows[:, None] < n) & col_valid[None, :]
             if cap > 0:
@@ -651,18 +689,21 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
                 # (fd >= fd_lb > r_hi > 0), counted without their values.
                 cols_gt = chunk_valid(c)
                 pruned += jnp.sum((cols_gt & ~candm).astype(jnp.int32))
-                ovf = ovf | jnp.any(
-                    jnp.sum(candm.astype(jnp.int32), axis=1) > cap)
+                cand_rows = jnp.sum(candm.astype(jnp.int32), axis=1)
+                rmax = jnp.maximum(rmax, jnp.max(cand_rows))
+                rsum += jnp.sum(cand_rows)
                 key = jnp.where(candm, fd_lb, jnp.inf)
-                # Exact capture of every candidate (row count <= cap is
-                # checked above); selection ORDER is free — only the set
-                # feeds the slot stats/scatters downstream.
-                with jax.named_scope("s_p3m_topk_row"):
-                    lbv, cols = exact_min_k(key, cap)
-                # Cross-row compaction: G rows' slots -> gcap. Selection is
-                # by the lower bound, but when the group's live count fits
-                # gcap (exact check; overflow -> fallback) EVERY live slot
-                # survives, so exactness never rests on the bound.
+                # Direct group-level capture: ONE exact_min_k per slot-group
+                # over the g_rows*npad-wide key instead of a per-row
+                # selection at cap followed by a group re-selection — the
+                # per-row pass was 0.186 s of the 1.19 s N=16,384 program
+                # and its set is identical whenever the group's live count
+                # fits gcap (exact check below; overflow -> fallback).
+                # Selection is by the lower bound, but when the count fits
+                # EVERY live slot survives, so exactness never rests on
+                # the bound. A side win: per-row truncation (a row alone
+                # exceeding the old cap budget) can no longer force a
+                # fallback — only the group total matters.
                 # Groups take STRIDED rows (i, i+bg, i+2bg, ...): real
                 # extracted features arrive identity-ordered, so adjacent
                 # rows share a cluster and their candidate counts correlate
@@ -670,22 +711,38 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
                 # lockstep (the round-3 sampler-bias failure pattern).
                 # Strided composition decorrelates: one worst-case row per
                 # group costs 278 + 7*40 << gcap.
-                def grp(x):
-                    return jnp.swapaxes(
-                        x.reshape(g_rows, bg, cap), 0, 1
-                    ).reshape(bg, g_rows * cap)
-
-                keyg = grp(lbv)
-                ovf = ovf | jnp.any(jnp.sum(
-                    jnp.isfinite(keyg).astype(jnp.int32), axis=1) > gcap)
+                keyg = jnp.swapaxes(
+                    key.reshape(g_rows, bg, npad), 0, 1
+                ).reshape(bg, g_rows * npad)
+                # Exact per-group candidate count from the row counts
+                # (group i owns rows i, i+bg, ...): no truncation happened
+                # yet, so this is the true live total per group.
+                cnt_g = jnp.sum(cand_rows.reshape(g_rows, bg), axis=0)
+                ovf = ovf | jnp.any(cnt_g > gcap)
+                gmax = jnp.maximum(gmax, jnp.max(cnt_g))
                 with jax.named_scope("s_p3m_topk_grp"):
                     lbg, flat = exact_min_k(keyg, gcap)
-                rowg = (flat // cap).astype(jnp.int32)  # row-in-group
-                colg = jnp.take_along_axis(grp(cols), flat, axis=1)
+                rowg = (flat // npad).astype(jnp.int32)  # row-in-group
+                colg = (flat - rowg * npad).astype(jnp.int32)
                 rowl = rowg * bg \
                     + jnp.arange(bg, dtype=jnp.int32)[:, None]  # row-in-chunk
                 with jax.named_scope("s_p3m_sparse"):
-                    fd_s = bound_ctx["slot_fd_pairs"](c, rowl, colg, orig)
+                    fd_s = bound_ctx["slot_fd_pairs"](
+                        c, rowl[:, :xt], colg[:, :xt], orig)
+                if xt < gcap:
+                    # Tail tier: live slots beyond xt exist in this chunk
+                    # (exact count; mesh-uniform so shard programs agree).
+                    need_tail = jax.lax.pmax(
+                        jnp.any(cnt_g > xt).astype(jnp.int32), "data") > 0
+                    with jax.named_scope("s_p3m_sparse_tail"):
+                        fd_t = jax.lax.cond(
+                            need_tail,
+                            lambda: bound_ctx["slot_fd_pairs"](
+                                c, rowl[:, xt:], colg[:, xt:], orig),
+                            lambda: jnp.full((bg, gcap - xt), jnp.inf,
+                                             jnp.float32),
+                        )
+                    fd_s = jnp.concatenate([fd_s, fd_t], axis=1)
                 fd_s = jnp.where(jnp.isfinite(lbg), fd_s, jnp.inf)
                 cc_acc = jax.lax.dynamic_update_slice(cc_acc, colg,
                                                       (c * bg, 0))
@@ -701,19 +758,23 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
                 fd = final_chunk(c)
                 pruned += jnp.sum(
                     (chunk_valid(c) & (fd != 0.0)).astype(jnp.int32))
-            return pruned, cc_acc, cf_acc, cr_acc, ovf
+            return pruned, cc_acc, cf_acc, cr_acc, ovf, rmax, rsum, gmax
 
         with jax.named_scope("s_p3_main"):
-            (pruned, cand_col, cand_fd, cand_row, cand_ovf) = \
-                jax.lax.fori_loop(
-                    0, n_chunks, sweep_main,
-                    (jnp.int32(0),
-                     jnp.full((r // g_rows, max(gcap, 1)), npad, jnp.int32),
-                     jnp.full((r // g_rows, max(gcap, 1)), jnp.inf,
-                              jnp.float32),
-                     jnp.zeros((r // g_rows, max(gcap, 1)), jnp.int32),
-                     jnp.bool_(cap == 0)),
-                )
+            (pruned, cand_col, cand_fd, cand_row, cand_ovf, cand_rmax,
+             cand_rsum, cand_gmax) = jax.lax.fori_loop(
+                0, n_chunks, sweep_main,
+                (jnp.int32(0),
+                 jnp.full((r // g_rows, max(gcap, 1)), npad, jnp.int32),
+                 jnp.full((r // g_rows, max(gcap, 1)), jnp.inf,
+                          jnp.float32),
+                 jnp.zeros((r // g_rows, max(gcap, 1)), jnp.int32),
+                 jnp.bool_(cap == 0), jnp.int32(0), jnp.int32(0),
+                 jnp.int32(0)),
+            )
+        cand_rmax = jax.lax.pmax(cand_rmax, "data")
+        cand_gmax = jax.lax.pmax(cand_gmax, "data")
+        cand_rsum = jax.lax.psum(cand_rsum, "data")
 
         # Slot-level stats (exact values for every pair with fd <= r_hi).
         # Global/local matrix row per slot, from the grouped layout:
@@ -742,7 +803,7 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
             jnp.round(rho * total.astype(jnp.float32)).astype(jnp.int32), 1
         )
         # Exact post-hoc checks: the k-th smallest pair is inside the
-        # compacted region, no row overflowed cap, no V row overflowed
+        # compacted region, no slot-group overflowed gcap, no V row overflowed
         # the support compaction.
         p_fast = (cnt_below < k) & (k <= cnt_below + cnt_rtri) \
             & ~ovf_any & ~sup_any
@@ -913,7 +974,7 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
         adj_ok = p_fast & (eps >= r_lo) & (eps <= r_hi)
         band_fallback = ~adj_ok
         # Diagnostic bit code for perf attribution (diag["fallback_code"]):
-        # 1 = a row overflowed cap, 2 = k-th pair outside the sampled
+        # 1 = a slot-group overflowed gcap, 2 = k-th pair outside the sampled
         # region, 4 = eps outside the region, 8 = a V-row support
         # overflowed the compaction width, 16 = a row's region pairs
         # overflowed eps_cap (eps took the exact two-sweep branch; the
@@ -925,7 +986,10 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
                    + 8 * sup_any.astype(jnp.int32)
                    + 16 * reg_ovf.astype(jnp.int32))
         diag_vec0 = jnp.stack([r_lo, r_hi, e_lo, e_hi,
-                               cnt_rtri.astype(jnp.float32)])
+                               cnt_rtri.astype(jnp.float32),
+                               cand_rmax.astype(jnp.float32),
+                               cand_rsum.astype(jnp.float32),
+                               cand_gmax.astype(jnp.float32)])
 
         def adj_fast(_):
             # Every adjacency pair has fd <= eps <= r_hi, so it is a
@@ -1053,9 +1117,16 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
         return (out.astype(jnp.int32), jnp.sum(is_root.astype(jnp.int32)),
                 eps, band_fallback, fb_code, diag_vec, final_stripe)
 
+    if n_groups:
+        def grouped(f_locals):  # (G, r, D) -> per-group outputs, stacked
+            return jax.lax.map(impl, f_locals)
+
+        entry, in_spec = grouped, P(None, "data", None)
+    else:
+        entry, in_spec = impl, P("data", None)
     (labels, n_clusters, eps, band_fallback, fb_code, diag_vec,
      final) = jax.shard_map(
-        impl, mesh=mesh, in_specs=P("data", None),
+        entry, mesh=mesh, in_specs=in_spec,
         out_specs=(P(), P(), P(), P(), P(), P(),
                    P("data", None) if with_final else P()),
         check_vma=False,
@@ -1065,24 +1136,36 @@ def _streaming_impl(f, n, rho, mesh, k1, k2, lambda_value, min_samples,
 
 def _stripe_config(features, mesh, chunk, col_blocks):
     """Shared stripe geometry: row padding, column blocking under the 2 GiB
-    buffer limit, chunk divisor fitting. Returns (f, n, npad, r, n_vblk, c)."""
+    buffer limit, chunk divisor fitting. Returns (f, n, npad, r, n_vblk, c).
+
+    ``features`` may carry a leading group axis ((G, N, D) — the fused
+    multi-group dispatch); rows are always axis -2.
+    """
     import math
 
     p = mesh.shape["data"]
-    n = features.shape[0]
+    n = features.shape[-2]
     # Rows pad to a multiple of lcm(base, 8p): the per-device stripe r must
     # divide by 8 for the bit-packed adjacency (ops/bits.py LSB-first bytes
     # + the packed ring transpose).
     base = p * chunk if n > p * chunk else p
     mult = math.lcm(base, 8 * p)
+    npad_t = -(-n // mult) * mult
+
+    def pad(x):
+        x = x.astype(jnp.float32)
+        cfg = [(0, 0)] * x.ndim
+        cfg[-2] = (0, npad_t - n)
+        return jnp.pad(x, cfg) if npad_t > n else x
+
     if isinstance(features, jax.Array) and not features.is_fully_addressable:
         # Process-spanning input (multi-host extract feeding clustering):
         # eager concatenation would mix a global array with local pad rows;
         # run the pad as one SPMD program instead.
-        f = jax.jit(lambda x: _pad_rows(x.astype(jnp.float32), mult))(features)
+        f = jax.jit(pad)(features)
     else:
-        f = _pad_rows(features.astype(jnp.float32), mult)
-    npad = f.shape[0]
+        f = pad(jnp.asarray(features))
+    npad = f.shape[-2]
     r = npad // p
     # Column-block V/rh so no single fp32 buffer exceeds ~1 GiB (XLA's hard
     # limit is 2 GiB per buffer).
@@ -1183,10 +1266,72 @@ def streaming_cluster(
         diag["r_lo"], diag["r_hi"] = float(dv[0]), float(dv[1])
         diag["e_lo"], diag["e_hi"] = float(dv[2]), float(dv[3])
         diag["region_tri_pairs"] = int(dv[4])
-        diag["dbscan_rounds"] = int(dv[5])
+        diag["cand_row_max"] = int(dv[5])
+        diag["cand_total"] = int(dv[6])
+        diag["cand_group_max"] = int(dv[7])
+        diag["dbscan_rounds"] = int(dv[8])
     if return_final:
         return labels[:n], n_clusters, eps, final[:n, :n]
     return labels[:n], n_clusters, eps
+
+
+def streaming_cluster_groups(
+    features,
+    mesh: Mesh,
+    k1: int = 20,
+    k2: int = 6,
+    lambda_value: float = 0.1,
+    rho: float = 1.6e-3,
+    min_samples: int = 4,
+    chunk: int = 512,
+    l1_impl: str = "auto",
+    col_blocks: int | None = None,
+    band_cap: int | None = None,
+    support_cap: int = 128,
+    eps_cap: int | None = None,
+    diag: dict | None = None,
+):
+    """``streaming_cluster`` for all feature groups in ONE device program.
+
+    ``features``: (G, N, D) array (or list of (N, D)) — the SSG whole/
+    upper/lower embeddings. The per-group pipeline runs under a single
+    lax.map inside one shard_map program, so the SSG iteration pays one
+    dispatch for all groups instead of G (the dense path fuses its groups
+    in ``api.cluster_groups`` for the same reason — SURVEY.md §3.1).
+    Per-group results are bit-identical to G separate ``streaming_cluster``
+    calls (same per-group program, same data).
+
+    Returns (labels (G, N) np-convertible, counts list[int], eps list
+    [float]). ``diag`` (optional dict) receives per-group arrays.
+    """
+    from ssg_tpu.parallel.multihost import global_put
+
+    if not isinstance(features, jax.Array):
+        features = jnp.stack([jnp.asarray(f) for f in features])
+    f, n, npad, r, n_vblk, c = _stripe_config(features, mesh, chunk,
+                                              col_blocks)
+    g = f.shape[0]
+    k1 = min(int(k1), n - 1)
+    k2 = min(int(k2), n - 1)
+    if band_cap is None:
+        band_cap = max(256, round_up(npad // 30, 64))
+    (labels, n_clusters, eps, band_fallback, fb_code, diag_vec,
+     _) = _streaming_impl(
+        global_put(mesh, f, P(None, "data", None)),
+        global_put(mesh, np.int32(n), P()),
+        global_put(mesh, np.float32(rho), P()),
+        mesh, k1, k2, float(lambda_value),
+        int(min_samples), int(c), l1_impl, n_vblk=n_vblk,
+        band_cap=int(band_cap), support_cap=int(support_cap),
+        eps_cap=None if eps_cap is None else int(eps_cap),
+        n_groups=g,
+    )
+    if diag is not None:
+        diag["band_fallback"] = [bool(x) for x in np.asarray(band_fallback)]
+        diag["fallback_code"] = [int(x) for x in np.asarray(fb_code)]
+        diag["diag_vec"] = np.asarray(diag_vec)
+    return (labels[:, :n], [int(x) for x in np.asarray(n_clusters)],
+            [float(x) for x in np.asarray(eps)])
 
 
 @functools.partial(

@@ -179,19 +179,16 @@ def run_ssg(model, variables, tgt, config: SSGConfig | None = None, logger=None,
         if mesh is not None:
             import numpy as _np
 
-            from ssg_tpu.parallel import streaming_cluster
+            from ssg_tpu.parallel import streaming_cluster_groups
 
-            parts = [
-                streaming_cluster(
-                    feats[g], mesh, k1=cfg.k1, k2=cfg.k2,
-                    lambda_value=cfg.lambda_value, rho=rho_it,
-                    min_samples=cfg.min_samples,
-                )
-                for g in range(cfg.num_parts)
-            ]
-            labels = _np.stack([_np.asarray(l) for l, _, _ in parts])
-            counts = [int(c) for _, c, _ in parts]
-            epss = [float(e) for _, _, e in parts]
+            # All groups in ONE device program (one dispatch instead of
+            # num_parts; per-group results identical to separate calls).
+            glabels, counts, epss = streaming_cluster_groups(
+                feats, mesh, k1=cfg.k1, k2=cfg.k2,
+                lambda_value=cfg.lambda_value, rho=rho_it,
+                min_samples=cfg.min_samples,
+            )
+            labels = _np.asarray(glabels)
         else:
             labels, counts, epss = api.cluster_groups(
                 feats, k1=cfg.k1, k2=cfg.k2, lambda_value=cfg.lambda_value,

@@ -166,6 +166,31 @@ def test_streaming_overflow_fallbacks_stay_exact():
 
 
 
+def test_streaming_cluster_groups_matches_separate_calls():
+    """The fused multi-group dispatch (one lax.map program — the SSG
+    loop's 3 groups paid one dispatch each before) must be bit-identical
+    per group to separate streaming_cluster calls AND dense-exact."""
+    from ssg_tpu.parallel.streaming import streaming_cluster_groups
+
+    mesh = make_mesh(8)
+    groups = [_feats(41, 160, 12), _feats(42, 160, 14), _feats(43, 160, 10)]
+    kw = dict(k1=8, k2=3, lambda_value=0.1, rho=0.02, min_samples=3, chunk=8)
+
+    labels_g, counts_g, eps_g = streaming_cluster_groups(
+        jnp.stack(groups), mesh, **kw)
+    assert labels_g.shape == (3, 160)
+    for g, f in enumerate(groups):
+        sl, sn, se = streaming_cluster(f, mesh, **kw)
+        np.testing.assert_array_equal(np.asarray(labels_g[g]),
+                                      np.asarray(sl))
+        assert counts_g[g] == int(sn) and eps_g[g] == float(se)
+
+        dist = re_ranking(features=f, k1=8, k2=3, lambda_value=0.1)
+        want_labels, want_n, _ = cluster(dist, rho=0.02, min_samples=3)
+        assert want_n > 0 and counts_g[g] == want_n
+        np.testing.assert_array_equal(np.asarray(labels_g[g]), want_labels)
+
+
 def test_streaming_tiny_k_clamp():
     mesh = make_mesh(8)
     feats = _feats(5, 40, 5)
