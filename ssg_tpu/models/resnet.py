@@ -39,6 +39,7 @@ class Bottleneck(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     fused_eval: bool = False  # route eval identity blocks through Pallas
+    act_store: Any = None  # round-trip block output through this dtype
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -94,7 +95,19 @@ class Bottleneck(nn.Module):
         if residual.shape != y.shape:
             residual = conv(self.features * 4, 1, self.strides, "downsample_conv")(x)
             residual = bn("downsample_bn")(residual)
-        return nn.relu(y + residual)
+        y = nn.relu(y + residual)
+        if self.act_store is not None:
+            # Guarded bandwidth experiment (docs/train_profile.md): store
+            # the block-boundary activation in a narrower dtype (e.g.
+            # float8_e4m3fn) so the tensor XLA materializes between block
+            # fusions — and saves for the backward — carries half the bf16
+            # bytes. Compute stays bf16; only the residual-trunk storage
+            # quantizes. The barrier pins the narrow tensor as the value
+            # crossing the fusion boundary (otherwise XLA may fuse both
+            # converts into one side and materialize bf16 anyway).
+            y = jax.lax.optimization_barrier(y.astype(self.act_store))
+            y = y.astype(self.dtype)
+        return y
 
 
 class BasicBlock(nn.Module):
@@ -191,6 +204,7 @@ class ResNetBackbone(nn.Module):
     precision: Any = None
     stem_s2d: bool | None = None  # None: on for TPU backends
     fused_eval: bool = False  # fused identity bottlenecks (Bottleneck only)
+    act_store: Any = None  # narrow block-boundary storage dtype (experiment)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -213,6 +227,8 @@ class ResNetBackbone(nn.Module):
                 self.last_stride if stage == len(self.stage_sizes) - 1 else 2
             )
             for blk in range(num_blocks):
+                kw = {"act_store": self.act_store} \
+                    if self.block is Bottleneck else {}
                 x = self.block(
                     features=64 * 2**stage,
                     strides=stage_stride if blk == 0 else 1,
@@ -220,6 +236,7 @@ class ResNetBackbone(nn.Module):
                     precision=self.precision,
                     fused_eval=self.fused_eval,
                     name=f"layer{stage + 1}_{blk}",
+                    **kw,
                 )(x, train=train)
         return x  # (B, h, w, C) conv5 feature map
 
@@ -250,6 +267,7 @@ class SSGResNet(nn.Module):
     precision: Any = None
     stem_s2d: bool | None = None  # space-to-depth stem (None: on for TPU)
     fused_eval: bool = False  # fused identity bottlenecks at eval (see Bottleneck)
+    act_store: Any = None  # narrow block-boundary storage dtype (experiment)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -257,7 +275,8 @@ class SSGResNet(nn.Module):
             stage_sizes=self.stage_sizes, block=self.block,
             last_stride=self.last_stride, dtype=self.dtype,
             precision=self.precision, stem_s2d=self.stem_s2d,
-            fused_eval=self.fused_eval, name="backbone",
+            fused_eval=self.fused_eval, act_store=self.act_store,
+            name="backbone",
         )(x, train=train)
         h = fmap.shape[1]
         # max(h//2, 1): a height-1 conv5 map (tiny inputs) would make the
