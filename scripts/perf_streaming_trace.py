@@ -98,7 +98,7 @@ def report(logdir, n=0, chunk=0, band_cap=0):
     by_phase, by_op, total = {}, {}, 0
     for e in leaf:
         tf = str((e.get("args") or {}).get("tf_op", ""))
-        m = re.findall(r"s_p\w+", tf)
+        m = re.findall(r"s_[pe]\w+", tf)
         phase = m[-1] if m else "(other)"  # deepest scope (sub-phases nest)
         by_phase[phase] = by_phase.get(phase, 0) + e["dur"]
         by_op[(phase, e["name"].split(".")[0])] = \
