@@ -1442,8 +1442,23 @@ def streaming_rerank_eval(
 
     spmd = (isinstance(query_features, jax.Array)
             and not query_features.is_fully_addressable)
+    # Single-process inputs take the device-side permutation too: the
+    # features usually already live on device (extract -> eval), and the
+    # old host path (np.asarray pull + global_put push) cost a ~2(nq+ng)·d
+    # fp32 tunnel round-trip — measured 9+ s against 1.24 s of device
+    # compute at Market scale (logs/perf_r5/rerank_trace.log). Only the
+    # multi-host replicated-numpy case still needs global_put (each
+    # process holds the full array; the permutation must place shards).
+    on_device = spmd or jax.process_count() == 1
     if spmd:
         qf, gf = query_features, gallery_features
+    elif on_device:
+        # Keep device arrays on device; lift host input to numpy f32
+        # (one tunnel upload inside the build jit, same as global_put).
+        qf = query_features if isinstance(query_features, jax.Array) \
+            else np.asarray(query_features, np.float32)
+        gf = gallery_features if isinstance(gallery_features, jax.Array) \
+            else np.asarray(gallery_features, np.float32)
     else:
         qf = np.asarray(query_features, np.float32)
         gf = np.asarray(gallery_features, np.float32)
@@ -1500,10 +1515,12 @@ def streaming_rerank_eval(
             col_gid[lo + qr:lo + qr + m] = g_ids[g0:g1]
             col_gcam[lo + qr:lo + qr + m] = g_cams[g0:g1]
 
-    if spmd:
-        # Process-spanning inputs (multi-host extract feeding eval): the
-        # permutation must run as one SPMD program — eager numpy fills
-        # cannot read global arrays. Pad slots gather a zero row.
+    if on_device:
+        # Process-spanning inputs (multi-host extract feeding eval) and
+        # all single-process inputs: the permutation runs as one SPMD
+        # program on device — eager numpy fills cannot read global
+        # arrays, and pulling device arrays to host pays the tunnel both
+        # ways. Pad slots gather a zero row.
         idx = np.where(src < 0, n, src)
 
         @functools.partial(jax.jit, out_shardings=jax.NamedSharding(
